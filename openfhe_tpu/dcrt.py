@@ -1,0 +1,203 @@
+"""Double-CRT (RNS) polynomials as limb-planar device arrays.
+
+The reference's central type ``DCRTPolyImpl`` (a std::vector of single-tower
+polynomials looped under OpenMP, ``lattice/hal/default/dcrtpoly-impl.h``) is
+re-designed here as pure data: a polynomial over basis {q_0..q_{L-1}} at ring
+dimension n is one U64 whose lo/hi arrays have shape [L, n]. Tower loops
+become array axes; every elementwise op is a single broadcasted VPU program;
+the format flag (COEFF/EVAL) is static pytree metadata so jit specializes on
+it. There is no object graph and no offload manager: schemes are pure
+functions over these pytrees.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from enum import Enum
+from functools import lru_cache
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import automorph, modular, ntt
+from .ops.limb import U64, from_int_array, pack, to_int_array, unpack
+from .ops.modular import ModConsts
+
+
+class Format(str, Enum):
+    COEFF = "coeff"
+    EVAL = "eval"
+
+
+@dataclasses.dataclass(frozen=True)
+class RnsBasis:
+    """Hashable host-side descriptor of an RNS basis (static under jit)."""
+
+    n: int
+    moduli: Tuple[int, ...]
+
+    def __post_init__(self):
+        object.__setattr__(self, "moduli", tuple(int(q) for q in self.moduli))
+
+    @property
+    def L(self) -> int:
+        return len(self.moduli)
+
+    @property
+    def big_modulus(self) -> int:
+        prod = 1
+        for q in self.moduli:
+            prod *= q
+        return prod
+
+    # --- cached derived tables (host/device constants) ---
+
+    @property
+    def mod(self) -> ModConsts:
+        return _basis_mod(self)
+
+    @property
+    def plan(self) -> ntt.NTTPlan:
+        return _basis_plan(self)
+
+    def drop_last(self, k: int = 1) -> "RnsBasis":
+        return RnsBasis(self.n, self.moduli[:-k])
+
+    def subset(self, idx) -> "RnsBasis":
+        return RnsBasis(self.n, tuple(self.moduli[i] for i in idx))
+
+    def concat(self, other: "RnsBasis") -> "RnsBasis":
+        assert self.n == other.n
+        return RnsBasis(self.n, self.moduli + other.moduli)
+
+
+@lru_cache(maxsize=None)
+def _basis_mod(basis: RnsBasis) -> ModConsts:
+    return modular.make_mod_consts(basis.moduli, trailing_dims=1)
+
+
+@lru_cache(maxsize=None)
+def _basis_plan(basis: RnsBasis) -> ntt.NTTPlan:
+    return ntt.make_plan(basis.n, basis.moduli)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RnsPoly:
+    """A polynomial in R_Q = Z_Q[x]/(x^n+1), Q = prod moduli, RNS form.
+
+    data: U64 of arrays [L, n]. fmt/basis are static metadata.
+    """
+
+    lo: jax.Array
+    hi: jax.Array
+    basis: RnsBasis = dataclasses.field(metadata=dict(static=True))
+    fmt: Format = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def data(self) -> U64:
+        return U64(self.lo, self.hi)
+
+    def with_data(self, data: U64, fmt: Format | None = None,
+                  basis: RnsBasis | None = None) -> "RnsPoly":
+        return RnsPoly(data.lo, data.hi, basis or self.basis, fmt or self.fmt)
+
+
+def make_poly(basis: RnsBasis, data: U64, fmt: Format) -> RnsPoly:
+    return RnsPoly(data.lo, data.hi, basis, fmt)
+
+
+def zero_poly(basis: RnsBasis, fmt: Format = Format.EVAL) -> RnsPoly:
+    z = jnp.zeros((basis.L, basis.n), jnp.uint32)
+    return RnsPoly(z, z, basis, fmt)
+
+
+def from_int_rows(basis: RnsBasis, rows, fmt: Format) -> RnsPoly:
+    return make_poly(basis, from_int_array(rows), fmt)
+
+
+def to_int_rows(p: RnsPoly) -> np.ndarray:
+    return to_int_array(p.data)
+
+
+# ---------------------------------------------------------------------------
+# Elementwise algebra (valid in either format; both operands must match)
+# ---------------------------------------------------------------------------
+
+
+def _check(a: RnsPoly, b: RnsPoly):
+    assert a.basis == b.basis, "RNS basis mismatch"
+    assert a.fmt == b.fmt, "format mismatch"
+
+
+def add(a: RnsPoly, b: RnsPoly) -> RnsPoly:
+    _check(a, b)
+    return a.with_data(modular.add_mod(a.data, b.data, a.basis.mod.q))
+
+
+def sub(a: RnsPoly, b: RnsPoly) -> RnsPoly:
+    _check(a, b)
+    return a.with_data(modular.sub_mod(a.data, b.data, a.basis.mod.q))
+
+
+def neg(a: RnsPoly) -> RnsPoly:
+    return a.with_data(modular.neg_mod(a.data, a.basis.mod.q))
+
+
+def mul(a: RnsPoly, b: RnsPoly) -> RnsPoly:
+    """Elementwise product; meaningful ring product only in EVAL format."""
+    _check(a, b)
+    return a.with_data(modular.mul_mod(a.data, b.data, a.basis.mod))
+
+
+def mul_scalar_int(a: RnsPoly, c: int) -> RnsPoly:
+    """Multiply by a plain integer constant (reduced per tower, Shoup)."""
+    consts = [c % q for q in a.basis.moduli]
+    cc = _tower_const(a.basis, tuple(consts))
+    return a.with_data(
+        modular.mul_mod_shoup(a.data, cc[0], cc[1], a.basis.mod.q))
+
+
+@lru_cache(maxsize=None)
+def _tower_const(basis: RnsBasis, consts: tuple):
+    vals = from_int_array([[c] for c in consts])
+    pres = from_int_array(
+        [[modular.shoup_precon_int(c, q)] for c, q in zip(consts, basis.moduli)])
+    return vals, pres
+
+
+def tower_const(basis: RnsBasis, consts) -> tuple:
+    """[L,1]-shaped U64 constant + Shoup precon for per-tower constants."""
+    return _tower_const(basis, tuple(int(c) for c in consts))
+
+
+def mul_tower_const(a: RnsPoly, consts) -> RnsPoly:
+    cc, pre = tower_const(a.basis, consts)
+    return a.with_data(modular.mul_mod_shoup(a.data, cc, pre, a.basis.mod.q))
+
+
+# ---------------------------------------------------------------------------
+# Format switching (the per-tower NTT of the reference's SwitchFormat,
+# dcrtpoly-impl.h:2518) and automorphisms
+# ---------------------------------------------------------------------------
+
+
+def to_eval(a: RnsPoly) -> RnsPoly:
+    if a.fmt == Format.EVAL:
+        return a
+    return a.with_data(ntt.forward(a.basis.plan, a.data), fmt=Format.EVAL)
+
+
+def to_coeff(a: RnsPoly) -> RnsPoly:
+    if a.fmt == Format.COEFF:
+        return a
+    return a.with_data(ntt.inverse(a.basis.plan, a.data), fmt=Format.COEFF)
+
+
+def automorphism(a: RnsPoly, k: int) -> RnsPoly:
+    if a.fmt == Format.EVAL:
+        return a.with_data(automorph.apply_eval(a.data, a.basis.n, k))
+    return a.with_data(
+        automorph.apply_coeff(a.data, a.basis.mod.q, a.basis.n, k))

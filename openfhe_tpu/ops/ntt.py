@@ -1,0 +1,182 @@
+"""Negacyclic NTT / inverse NTT over RNS tower moduli.
+
+The forward transform is a Cooley-Tukey decimation-in-time network (natural
+input order, bit-reversed output) with the 2n-th root powers merged into the
+twiddles, so no separate pre-multiplication by psi^i is needed; the inverse is
+the matching Gentleman-Sande network. This is the same mathematical transform
+as the reference's ``ChineseRemainderTransformFTT``
+(``math/hal/intnat/transformnat-impl.h:197-552``) — the operation the fork's
+DPU NTT kernel (``src/core/pim/dpu/ntt/ntt.c``) left unimplemented — but
+realized as a fully vectorized, branch-free XLA program: each butterfly stage
+is one reshape + one Shoup constant-multiply + modular add/sub over the whole
+[L, n] tower batch, so the VPU sees wide contiguous lanes and XLA fuses the
+stage pipeline.
+
+Tables are precomputed host-side with exact Python ints (the analog of the
+reference's lazy PreCompute root-table maps, ``transformnat-impl.h:708-763``)
+and live as device constants captured by jit.
+
+Evaluation-order contract (verified by tests against direct evaluation):
+output slot j of the forward transform holds p(psi^(2*bitrev(j)+1)), i.e.
+bit-reversed order over odd powers of psi. Automorphism index maps in
+``automorph.py`` are derived from this contract.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import NamedTuple, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import nbtheory
+from .limb import U64
+from .modular import (
+    ModConsts,
+    add_mod,
+    make_mod_consts,
+    mul_mod_shoup,
+    shoup_precon_int,
+    sub_mod,
+)
+
+
+def bit_reverse_perm(n: int) -> np.ndarray:
+    bits = n.bit_length() - 1
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev
+
+
+def _pack_table(values_per_tower, shape):
+    """list-of-list of ints -> U64 with given shape."""
+    flat = [v for tower in values_per_tower for v in tower]
+    lo = np.asarray([v & 0xFFFFFFFF for v in flat], np.uint32).reshape(shape)
+    hi = np.asarray([(v >> 32) & 0xFFFFFFFF for v in flat], np.uint32).reshape(shape)
+    return U64(jnp.asarray(lo), jnp.asarray(hi))
+
+
+class NTTPlan(NamedTuple):
+    """Precomputed tables for batched NTT over a chain of L moduli at ring
+    dimension n. All tables are [L, n] (bit-reversed psi powers) or [L, 1].
+    """
+
+    n: int
+    moduli: tuple
+    mod: ModConsts            # shaped [L, 1]
+    psi_br: U64               # [L, n] psi^bitrev(j)
+    psi_br_pre: U64           # Shoup precons
+    psi_inv_br: U64           # [L, n] psi^-bitrev(j)
+    psi_inv_br_pre: U64
+    n_inv: U64                # [L, 1]
+    n_inv_pre: U64
+
+
+@lru_cache(maxsize=None)
+def _plan_tables(n: int, moduli: tuple):
+    rev = bit_reverse_perm(n)
+    psi_rows, psi_pre_rows = [], []
+    inv_rows, inv_pre_rows = [], []
+    ninv_rows, ninv_pre_rows = [], []
+    for q in moduli:
+        psi = nbtheory.root_of_unity(2 * n, q)
+        # powers psi^0..psi^(n-1) by cumulative product (exact ints)
+        pw = [1] * n
+        for j in range(1, n):
+            pw[j] = pw[j - 1] * psi % q
+        psi_inv = nbtheory.mod_inverse(psi, q)
+        pwi = [1] * n
+        for j in range(1, n):
+            pwi[j] = pwi[j - 1] * psi_inv % q
+        psi_br = [pw[rev[j]] for j in range(n)]
+        psi_inv_br = [pwi[rev[j]] for j in range(n)]
+        psi_rows.append(psi_br)
+        psi_pre_rows.append([shoup_precon_int(v, q) for v in psi_br])
+        inv_rows.append(psi_inv_br)
+        inv_pre_rows.append([shoup_precon_int(v, q) for v in psi_inv_br])
+        ninv = nbtheory.mod_inverse(n, q)
+        ninv_rows.append([ninv])
+        ninv_pre_rows.append([shoup_precon_int(ninv, q)])
+    L = len(moduli)
+    return (
+        _pack_table(psi_rows, (L, n)),
+        _pack_table(psi_pre_rows, (L, n)),
+        _pack_table(inv_rows, (L, n)),
+        _pack_table(inv_pre_rows, (L, n)),
+        _pack_table(ninv_rows, (L, 1)),
+        _pack_table(ninv_pre_rows, (L, 1)),
+    )
+
+
+def make_plan(n: int, moduli: Sequence[int]) -> NTTPlan:
+    moduli = tuple(int(q) for q in moduli)
+    assert n & (n - 1) == 0, "ring dimension must be a power of two"
+    for q in moduli:
+        assert (q - 1) % (2 * n) == 0, f"{q} is not NTT-friendly for 2n={2*n}"
+    tables = _plan_tables(n, moduli)
+    mod = make_mod_consts(moduli, trailing_dims=1)
+    return NTTPlan(n, moduli, mod, *tables)
+
+
+def _slice_tw(table: U64, lo_idx: int, hi_idx: int) -> U64:
+    return U64(table.lo[:, lo_idx:hi_idx, None], table.hi[:, lo_idx:hi_idx, None])
+
+
+def forward(plan: NTTPlan, a: U64) -> U64:
+    """Batched forward negacyclic NTT: a is U64 with arrays [..., L, n] in
+    natural coefficient order; output in bit-reversed evaluation order.
+    """
+    n = plan.n
+    q = plan.mod.q
+    lo, hi = a.lo, a.hi
+    batch_shape = lo.shape[:-1]
+    m = 1
+    while m < n:
+        t = n // (2 * m)
+        x = U64(lo.reshape(batch_shape + (m, 2, t)),
+                hi.reshape(batch_shape + (m, 2, t)))
+        u = U64(x.lo[..., 0, :], x.hi[..., 0, :])
+        v = U64(x.lo[..., 1, :], x.hi[..., 1, :])
+        w = _slice_tw(plan.psi_br, m, 2 * m)
+        wp = _slice_tw(plan.psi_br_pre, m, 2 * m)
+        vw = mul_mod_shoup(v, w, wp, U64(q.lo[..., None], q.hi[..., None]))
+        top = add_mod(u, vw, U64(q.lo[..., None], q.hi[..., None]))
+        bot = sub_mod(u, vw, U64(q.lo[..., None], q.hi[..., None]))
+        lo = jnp.stack([top.lo, bot.lo], axis=-2).reshape(batch_shape + (n,))
+        hi = jnp.stack([top.hi, bot.hi], axis=-2).reshape(batch_shape + (n,))
+        m *= 2
+    return U64(lo, hi)
+
+
+def inverse(plan: NTTPlan, a: U64) -> U64:
+    """Batched inverse: bit-reversed evaluation order -> natural coefficients,
+    including the 1/n scaling (folded in as a final Shoup multiply).
+    """
+    n = plan.n
+    q = plan.mod.q
+    lo, hi = a.lo, a.hi
+    batch_shape = lo.shape[:-1]
+    t = 1
+    m = n
+    while m > 1:
+        h = m // 2
+        x = U64(lo.reshape(batch_shape + (h, 2, t)),
+                hi.reshape(batch_shape + (h, 2, t)))
+        u = U64(x.lo[..., 0, :], x.hi[..., 0, :])
+        v = U64(x.lo[..., 1, :], x.hi[..., 1, :])
+        qb = U64(q.lo[..., None], q.hi[..., None])
+        top = add_mod(u, v, qb)
+        diff = sub_mod(u, v, qb)
+        w = _slice_tw(plan.psi_inv_br, h, 2 * h)
+        wp = _slice_tw(plan.psi_inv_br_pre, h, 2 * h)
+        bot = mul_mod_shoup(diff, w, wp, qb)
+        lo = jnp.stack([top.lo, bot.lo], axis=-2).reshape(batch_shape + (n,))
+        hi = jnp.stack([top.hi, bot.hi], axis=-2).reshape(batch_shape + (n,))
+        t *= 2
+        m = h
+    out = mul_mod_shoup(U64(lo, hi), plan.n_inv, plan.n_inv_pre, q)
+    return out
