@@ -201,3 +201,18 @@ def automorphism(a: RnsPoly, k: int) -> RnsPoly:
         return a.with_data(automorph.apply_eval(a.data, a.basis.n, k))
     return a.with_data(
         automorph.apply_coeff(a.data, a.basis.mod.q, a.basis.n, k))
+
+
+# ---------------------------------------------------------------------------
+# Jit all op-level entry points. RnsPoly's static metadata (basis, fmt)
+# drives retracing; eager dispatch would recompile per tiny op instead.
+# ---------------------------------------------------------------------------
+
+add = jax.jit(add)
+sub = jax.jit(sub)
+neg = jax.jit(neg)
+mul = jax.jit(mul)
+mul_scalar_int = jax.jit(mul_scalar_int, static_argnums=1)
+to_eval = jax.jit(to_eval)
+to_coeff = jax.jit(to_coeff)
+automorphism = jax.jit(automorphism, static_argnums=1)

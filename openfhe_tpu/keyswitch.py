@@ -1,0 +1,235 @@
+"""Hybrid (RNS-digit) key switching — the workhorse of relinearization,
+rotation, and conjugation.
+
+Re-designs the reference's ``KeySwitchHYBRID``
+(``pke/lib/keyswitch/keyswitch-hybrid.cpp:330-482``) for TPU execution:
+
+* The full modulus chain Q = q_0..q_{L-1} is partitioned into ``dnum``
+  digits of ``alpha`` towers. A switching key for target secret s' holds,
+  per digit j, a pair (b_j, a_j) over the extended basis Q*P with
+  b_j = -a_j s + e_j + [P * QHat_j * (QHat_j^{-1} mod D_j)] * s',
+  where D_j = prod of digit-j moduli and QHat_j = Q/D_j. Because
+  QHat_j * (QHat_j^{-1} mod D_j) ≡ 1 mod every q_i in D_j and ≡ 0 mod every
+  q_i outside D_j (and P ≡ 0 mod every special prime), a single key
+  generated at full level switches correctly at EVERY level with plain
+  restriction decomposition — no per-level key material.
+
+* Applying the switch to a polynomial c over Q_l (EVAL): one iNTT; per
+  active digit, an ApproxSwitchCRTBasis into the complementary basis and a
+  forward NTT over Q_l*P; an inner product with the key digits (general
+  variable*variable mulmod, summed mod each tower); then two ApproxModDown
+  (one per output component) and NTTs back. All tower math is batched
+  [towers, n] array code — the reference's per-tower OpenMP loops become
+  one VPU program per op.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dcrt import Format, RnsBasis, RnsPoly, make_poly
+from .ops import ntt as ntt_ops
+from .ops import rns
+from .ops.limb import U64, from_int_array
+from .ops.modular import (add_mod, mul_mod, mul_mod_shoup, shoup_precon_int,
+                          sub_mod)
+from .utils import sampling
+
+
+@dataclasses.dataclass(frozen=True)
+class KSParams:
+    """Static hybrid-keyswitch geometry (hashable; closed over by jit)."""
+
+    n: int
+    q_moduli: Tuple[int, ...]
+    p_moduli: Tuple[int, ...]
+    alpha: int  # towers per digit
+
+    @property
+    def dnum(self) -> int:
+        return -(-len(self.q_moduli) // self.alpha)
+
+    def digit_range(self, j: int, level_towers: int) -> Tuple[int, int]:
+        """Active tower index range [start, end) of digit j at a level."""
+        start = j * self.alpha
+        end = min((j + 1) * self.alpha, level_towers)
+        return start, end
+
+    def num_digits(self, level_towers: int) -> int:
+        return -(-level_towers // self.alpha)
+
+    @property
+    def P(self) -> int:
+        prod = 1
+        for p in self.p_moduli:
+            prod *= p
+        return prod
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class KSKey:
+    """Switching key: stacked digit pairs over Q*P, each [dnum, L+K, n]."""
+
+    b_lo: jax.Array
+    b_hi: jax.Array
+    a_lo: jax.Array
+    a_hi: jax.Array
+    params: KSParams = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def b(self) -> U64:
+        return U64(self.b_lo, self.b_hi)
+
+    @property
+    def a(self) -> U64:
+        return U64(self.a_lo, self.a_hi)
+
+
+@lru_cache(maxsize=None)
+def _digit_factor_table(params: KSParams):
+    """[dnum, L+K, 1] per-tower constants [P*QHat_j*(QHat_j^{-1} mod D_j)]_m
+    with Shoup precons (host-exact)."""
+    qs, ps = params.q_moduli, params.p_moduli
+    Q = 1
+    for q in qs:
+        Q *= q
+    all_moduli = qs + ps
+    rows = []
+    pre_rows = []
+    for j in range(params.dnum):
+        s, e = j * params.alpha, min((j + 1) * params.alpha, len(qs))
+        D = 1
+        for q in qs[s:e]:
+            D *= q
+        qhat = Q // D
+        u = pow(qhat % D, -1, D)
+        g = params.P * qhat * u
+        row = [g % m for m in all_moduli]
+        rows.append([[v] for v in row])
+        pre_rows.append([[shoup_precon_int(v, m)] for v, m in zip(row, all_moduli)])
+    shape = (params.dnum, len(all_moduli), 1)
+    vals = from_int_array(np.asarray(rows, dtype=object).reshape(shape))
+    pres = from_int_array(np.asarray(pre_rows, dtype=object).reshape(shape))
+    return vals, pres
+
+
+def ext_basis(params: KSParams, level_towers: int) -> RnsBasis:
+    return RnsBasis(params.n,
+                    params.q_moduli[:level_towers] + params.p_moduli)
+
+
+def full_basis(params: KSParams) -> RnsBasis:
+    return ext_basis(params, len(params.q_moduli))
+
+
+def keygen(params: KSParams, s_from: RnsPoly, s_to: RnsPoly,
+           rng: np.random.Generator, sigma: float = 3.19) -> KSKey:
+    """Generate a switching key s_to -> s_from. Both secrets are EVAL-form
+    RnsPolys over the full extended basis Q*P.
+
+    (Reference role: KeySwitchHYBRID::KeySwitchGenInternal.)
+    """
+    basis = full_basis(params)
+    assert s_from.basis == basis and s_to.basis == basis
+    n = params.n
+    moduli = basis.moduli
+    fac, fac_pre = _digit_factor_table(params)
+    mod = basis.mod
+
+    @jax.jit
+    def digit_b(a_data, e_coeff_data, s_from_data, s_to_data, fj, fj_pre):
+        e = ntt_ops.forward(basis.plan, e_coeff_data)
+        gterm = mul_mod_shoup(s_to_data, fj, fj_pre, mod.q)
+        a_s = mul_mod(a_data, s_from_data, mod)
+        return sub_mod(add_mod(gterm, e, mod.q), a_s, mod.q)
+
+    b_list, a_list = [], []
+    for j in range(params.dnum):
+        a_rows = sampling.uniform_rns_rows(n, moduli, rng)
+        a = rns_poly_from_rows(basis, a_rows, Format.EVAL)
+        e_rows = sampling.signed_to_rns_rows(
+            sampling.gaussian_coeffs(n, rng, sigma), moduli)
+        e_coeff = from_int_array(np.asarray(e_rows, dtype=object))
+        fj = U64(fac.lo[j], fac.hi[j])
+        fj_pre = U64(fac_pre.lo[j], fac_pre.hi[j])
+        b = digit_b(a.data, e_coeff, s_from.data, s_to.data, fj, fj_pre)
+        b_list.append(b)
+        a_list.append(a.data)
+    b_lo = jnp.stack([b.lo for b in b_list])
+    b_hi = jnp.stack([b.hi for b in b_list])
+    a_lo = jnp.stack([a.lo for a in a_list])
+    a_hi = jnp.stack([a.hi for a in a_list])
+    return KSKey(b_lo, b_hi, a_lo, a_hi, params)
+
+
+def rns_poly_from_rows(basis: RnsBasis, rows, fmt: Format) -> RnsPoly:
+    data = from_int_array(np.asarray(rows, dtype=object))
+    return make_poly(basis, data, fmt)
+
+
+def apply(key: KSKey, c: RnsPoly) -> Tuple[RnsPoly, RnsPoly]:
+    """Key-switch EVAL-form c over Q_l: returns (d0, d1) over Q_l (EVAL)
+    such that d0 + d1*s ≈ c*s_to (the caller adds d0/d1 into the ct).
+
+    (Reference stack: KeySwitchCore -> EvalKeySwitchPrecomputeCore ->
+    EvalFastKeySwitchCoreExt -> EvalFastKeySwitchCore,
+    ``keyswitch-hybrid.cpp:324-482``.)
+    """
+    params = key.params
+    assert c.fmt == Format.EVAL
+    lvl = c.basis.L
+    q_act = params.q_moduli[:lvl]
+    assert c.basis.moduli == q_act, "ciphertext basis must be a Q prefix"
+    ndig = params.num_digits(lvl)
+    eb = ext_basis(params, lvl)
+    K = len(params.p_moduli)
+    Lfull = len(params.q_moduli)
+
+    c_coeff = ntt_ops.inverse(c.basis.plan, c.data)  # [lvl, n]
+
+    # active rows of the key: q_0..q_{lvl-1} then the P block
+    row_idx = list(range(lvl)) + list(range(Lfull, Lfull + K))
+    idx = jnp.asarray(row_idx)
+
+    acc0 = acc1 = None
+    for j in range(ndig):
+        s, e = params.digit_range(j, lvl)
+        part = U64(c_coeff.lo[s:e], c_coeff.hi[s:e])
+        part_moduli = q_act[s:e]
+        comp_moduli = q_act[:s] + q_act[e:] + params.p_moduli
+        conv = rns.approx_switch_basis(part, part_moduli, comp_moduli)
+        # assemble rows in basis order [q_0..q_{lvl-1}, P]
+        lo = jnp.concatenate([conv.lo[:s], part.lo, conv.lo[s:]], axis=0)
+        hi = jnp.concatenate([conv.hi[:s], part.hi, conv.hi[s:]], axis=0)
+        digit = ntt_ops.forward(eb.plan, U64(lo, hi))  # EVAL over Q_l*P
+        kb = U64(key.b_lo[j][idx], key.b_hi[j][idx])
+        ka = U64(key.a_lo[j][idx], key.a_hi[j][idx])
+        t0 = mul_mod(digit, kb, eb.mod)
+        t1 = mul_mod(digit, ka, eb.mod)
+        if acc0 is None:
+            acc0, acc1 = t0, t1
+        else:
+            acc0 = add_mod(acc0, t0, eb.mod.q)
+            acc1 = add_mod(acc1, t1, eb.mod.q)
+
+    # mod-down by P: coeff domain, split Q/P parts
+    def mod_down(acc: U64) -> U64:
+        cc = ntt_ops.inverse(eb.plan, acc)
+        xq = U64(cc.lo[:lvl], cc.hi[:lvl])
+        xp = U64(cc.lo[lvl:], cc.hi[lvl:])
+        down = rns.approx_mod_down(xq, xp, q_act, params.p_moduli)
+        return ntt_ops.forward(c.basis.plan, down)
+
+    d0 = make_poly(c.basis, mod_down(acc0), Format.EVAL)
+    d1 = make_poly(c.basis, mod_down(acc1), Format.EVAL)
+    return d0, d1
+
+
+apply = jax.jit(apply)

@@ -1,0 +1,444 @@
+"""CKKS approximate-arithmetic scheme over RNS towers (TPU-native).
+
+Covers the role of the reference's CKKSrns scheme family
+(``pke/lib/scheme/ckksrns/``): context generation with an RNS modulus chain,
+ternary-secret keygen, public/secret-key encryption, EvalAdd/Sub/Mult,
+relinearization and rotations via hybrid key switching, rescaling
+(FIXEDMANUAL scaling technique), and complex packed encode/decode.
+
+Everything device-side is pure-functional array code over RnsPoly pytrees;
+the context is a hashable host object closed over by jit. Randomness is
+host-side numpy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import dcrt, encoding, keyswitch
+from ..dcrt import Format, RnsBasis, RnsPoly
+from ..ops import ntt as ntt_ops
+from ..ops import rns
+from ..ops.limb import U64, from_int_array, to_int_array
+from ..utils import nbtheory, sampling
+
+
+@dataclasses.dataclass(frozen=True)
+class CKKSParams:
+    """User-facing config (role of CCParams<CryptoContextCKKSRNS>,
+    ``pke/include/scheme/cryptocontextparams-base.h``)."""
+
+    ring_dim: int = 1 << 12
+    mult_depth: int = 2
+    scaling_mod_size: int = 50
+    first_mod_size: int = 60
+    dnum: int = 3           # hybrid keyswitch digit count
+    sigma: float = 3.19
+
+    @property
+    def num_towers(self) -> int:
+        return self.mult_depth + 1
+
+    @property
+    def num_slots(self) -> int:
+        return self.ring_dim // 2
+
+
+@dataclasses.dataclass(frozen=True)
+class CKKSContext:
+    params: CKKSParams
+    q_moduli: Tuple[int, ...]
+    p_moduli: Tuple[int, ...]
+
+    @property
+    def n(self) -> int:
+        return self.params.ring_dim
+
+    @property
+    def scale(self) -> float:
+        return float(2 ** self.params.scaling_mod_size)
+
+    @property
+    def ks_params(self) -> keyswitch.KSParams:
+        alpha = -(-len(self.q_moduli) // self.params.dnum)
+        return keyswitch.KSParams(self.n, self.q_moduli, self.p_moduli, alpha)
+
+    def basis(self, towers: int | None = None) -> RnsBasis:
+        towers = len(self.q_moduli) if towers is None else towers
+        return RnsBasis(self.n, self.q_moduli[:towers])
+
+    @property
+    def full_qp_basis(self) -> RnsBasis:
+        return RnsBasis(self.n, self.q_moduli + self.p_moduli)
+
+
+def gen_context(params: CKKSParams) -> CKKSContext:
+    """Build the modulus chain (role of ParamsGenCKKSRNS +
+    rns-cryptoparameters precomputation, ``pke/lib/schemerns/``).
+
+    Scaling primes alternate just below/above 2^scaling_mod_size so the
+    running product stays close to the nominal scale (FIXEDMANUAL).
+    """
+    n = params.ring_dim
+    m = 2 * n
+    L = params.num_towers
+    q0 = nbtheory.first_prime(params.first_mod_size, m)
+    used = {q0}
+    qs = [q0]
+    base = 1 << params.scaling_mod_size
+    lo_cursor = base
+    hi_cursor = base
+    below = True
+    while len(qs) < L:
+        if below:
+            lo_cursor = nbtheory.prev_ntt_prime_below(lo_cursor, m)
+            while lo_cursor in used:
+                lo_cursor = nbtheory.prev_ntt_prime_below(lo_cursor, m)
+            qs.append(lo_cursor)
+            used.add(lo_cursor)
+        else:
+            hi_cursor = nbtheory.next_ntt_prime_above(hi_cursor, m)
+            while hi_cursor in used:
+                hi_cursor = nbtheory.next_ntt_prime_above(hi_cursor, m)
+            qs.append(hi_cursor)
+            used.add(hi_cursor)
+        below = not below
+    # special primes: 60-bit, scanned downward, distinct from the q chain
+    alpha = -(-L // params.dnum)
+    ps = []
+    cursor = nbtheory.first_prime(60, m)
+    while len(ps) < alpha:
+        while cursor in used:
+            cursor = nbtheory.previous_prime(cursor, m)
+        ps.append(cursor)
+        used.add(cursor)
+        cursor = nbtheory.previous_prime(cursor, m)
+    return CKKSContext(params, tuple(qs), tuple(ps))
+
+
+# ---------------------------------------------------------------------------
+# Keys
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SecretKey:
+    coeffs: np.ndarray  # ternary, int64, host
+    _cache: dict = dataclasses.field(default_factory=dict)
+
+    def poly(self, basis: RnsBasis) -> RnsPoly:
+        """EVAL-form secret over the given basis (cached)."""
+        if basis not in self._cache:
+            rows = sampling.signed_to_rns_rows(self.coeffs, basis.moduli)
+            p = dcrt.from_int_rows(basis, rows, Format.COEFF)
+            self._cache[basis] = dcrt.to_eval(p)
+        return self._cache[basis]
+
+
+@dataclasses.dataclass
+class PublicKey:
+    b: RnsPoly  # -a*s + e  (EVAL, full Q)
+    a: RnsPoly
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Ciphertext:
+    """CKKS ciphertext: tuple of EVAL-form polys over a Q-prefix basis.
+
+    scale and the poly count are static metadata (jit specializes on them).
+    """
+
+    polys: Tuple[RnsPoly, ...]
+    scale: float = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def basis(self) -> RnsBasis:
+        return self.polys[0].basis
+
+    @property
+    def towers(self) -> int:
+        return self.basis.L
+
+
+def keygen(ctx: CKKSContext, rng: np.random.Generator
+           ) -> Tuple[PublicKey, SecretKey]:
+    """(role of KeyGenInternal, ``pke/lib/schemebase/base-pke.cpp:43``)."""
+    n = ctx.n
+    sk = SecretKey(sampling.ternary_coeffs(n, rng))
+    basis = ctx.basis()
+    s = sk.poly(basis)
+    a = dcrt.from_int_rows(
+        basis, sampling.uniform_rns_rows(n, basis.moduli, rng), Format.EVAL)
+    e = _sample_error_poly(ctx, basis, rng)
+    b = dcrt.sub(e, dcrt.mul(a, s))
+    return PublicKey(b, a), sk
+
+
+def _sample_error_poly(ctx: CKKSContext, basis: RnsBasis,
+                       rng: np.random.Generator) -> RnsPoly:
+    rows = sampling.signed_to_rns_rows(
+        sampling.gaussian_coeffs(ctx.n, rng, ctx.params.sigma), basis.moduli)
+    return dcrt.to_eval(dcrt.from_int_rows(basis, rows, Format.COEFF))
+
+
+def relin_keygen(ctx: CKKSContext, sk: SecretKey,
+                 rng: np.random.Generator) -> keyswitch.KSKey:
+    """Key for s^2 -> s (relinearization)."""
+    qp = ctx.full_qp_basis
+    s = sk.poly(qp)
+    s2 = dcrt.mul(s, s)
+    return keyswitch.keygen(ctx.ks_params, s, s2, rng, ctx.params.sigma)
+
+
+def rotation_indices_to_galois(n: int, rot: int) -> int:
+    """Slot rotation by `rot` -> Galois element 5^rot mod 2n."""
+    return pow(5, rot % (n // 2), 2 * n)
+
+
+def rot_keygen(ctx: CKKSContext, sk: SecretKey, rotations: Sequence[int],
+               rng: np.random.Generator) -> Dict[int, keyswitch.KSKey]:
+    """Keys for sigma_k(s) -> s for each requested slot rotation."""
+    qp = ctx.full_qp_basis
+    s = sk.poly(qp)
+    keys = {}
+    for r in rotations:
+        k = rotation_indices_to_galois(ctx.n, r)
+        s_rot = dcrt.automorphism(s, k)
+        keys[r] = keyswitch.keygen(ctx.ks_params, s, s_rot, rng,
+                                   ctx.params.sigma)
+    return keys
+
+
+def conj_keygen(ctx: CKKSContext, sk: SecretKey,
+                rng: np.random.Generator) -> keyswitch.KSKey:
+    qp = ctx.full_qp_basis
+    s = sk.poly(qp)
+    s_conj = dcrt.automorphism(s, 2 * ctx.n - 1)
+    return keyswitch.keygen(ctx.ks_params, s, s_conj, rng, ctx.params.sigma)
+
+
+# ---------------------------------------------------------------------------
+# Encrypt / decrypt
+# ---------------------------------------------------------------------------
+
+
+def encode(ctx: CKKSContext, values: Sequence[complex],
+           towers: int | None = None, scale: float | None = None) -> RnsPoly:
+    """Complex slots -> EVAL-form plaintext poly."""
+    scale = scale or ctx.scale
+    basis = ctx.basis(towers)
+    coeffs = encoding.ckks_encode(values, ctx.n, scale)
+    rows = sampling.signed_to_rns_rows(coeffs, basis.moduli)
+    return dcrt.to_eval(dcrt.from_int_rows(basis, rows, Format.COEFF))
+
+
+def encrypt(ctx: CKKSContext, pk: PublicKey, values: Sequence[complex],
+            rng: np.random.Generator) -> Ciphertext:
+    """(role of PKEBase::Encrypt / EncryptZeroCore,
+    ``pke/lib/schemebase/base-pke.cpp:97-186``)."""
+    basis = ctx.basis()
+    m = encode(ctx, values)
+    v_rows = sampling.signed_to_rns_rows(
+        sampling.ternary_coeffs(ctx.n, rng), basis.moduli)
+    v = dcrt.to_eval(dcrt.from_int_rows(basis, v_rows, Format.COEFF))
+    e0 = _sample_error_poly(ctx, basis, rng)
+    e1 = _sample_error_poly(ctx, basis, rng)
+    c0 = dcrt.add(dcrt.add(dcrt.mul(pk.b, v), e0), m)
+    c1 = dcrt.add(dcrt.mul(pk.a, v), e1)
+    return Ciphertext((c0, c1), ctx.scale)
+
+
+def decrypt_poly(ctx: CKKSContext, sk: SecretKey, ct: Ciphertext) -> RnsPoly:
+    """m' = sum_i c_i s^i over the ct basis (EVAL)."""
+    basis = ct.basis
+    s = sk.poly(basis)
+    acc = ct.polys[0]
+    s_pow = s
+    for c in ct.polys[1:]:
+        acc = dcrt.add(acc, dcrt.mul(c, s_pow))
+        s_pow = dcrt.mul(s_pow, s)
+    return acc
+
+
+def decrypt(ctx: CKKSContext, sk: SecretKey, ct: Ciphertext,
+            num_slots: int | None = None) -> np.ndarray:
+    """Decrypt + decode to complex slots (host CRT interpolation)."""
+    m_eval = decrypt_poly(ctx, sk, ct)
+    m_coeff = dcrt.to_coeff(m_eval)
+    rows = dcrt.to_int_rows(m_coeff)
+    coeffs = crt_interpolate_centered(rows, ct.basis.moduli)
+    return encoding.ckks_decode(coeffs, ctx.n, ct.scale, num_slots)
+
+
+def crt_interpolate_centered(rows, moduli: Tuple[int, ...]):
+    """Host: RNS rows -> centered big-int coefficients (exact).
+
+    (role of DCRTPolyImpl::CRTInterpolate, ``dcrtpoly-impl.h:851``)
+    """
+    Q = 1
+    for q in moduli:
+        Q *= q
+    lifts = []
+    for q in moduli:
+        qh = Q // q
+        lifts.append(qh * pow(qh % q, -1, q))
+    n = len(rows[0])
+    out = []
+    for k in range(n):
+        x = 0
+        for i, q in enumerate(moduli):
+            x += int(rows[i][k]) * lifts[i]
+        x %= Q
+        if x > Q // 2:
+            x -= Q
+        out.append(x)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Homomorphic ops
+# ---------------------------------------------------------------------------
+
+
+def _align(ct1: Ciphertext, ct2: Ciphertext):
+    assert ct1.basis == ct2.basis, "level mismatch (rescale/level-reduce first)"
+    assert abs(ct1.scale - ct2.scale) / ct1.scale < 1e-9, "scale mismatch"
+    return ct1, ct2
+
+
+def eval_add(ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+    _align(ct1, ct2)
+    k = max(len(ct1.polys), len(ct2.polys))
+    polys = []
+    for i in range(k):
+        if i < len(ct1.polys) and i < len(ct2.polys):
+            polys.append(dcrt.add(ct1.polys[i], ct2.polys[i]))
+        elif i < len(ct1.polys):
+            polys.append(ct1.polys[i])
+        else:
+            polys.append(ct2.polys[i])
+    return Ciphertext(tuple(polys), ct1.scale)
+
+
+def eval_sub(ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+    _align(ct1, ct2)
+    k = max(len(ct1.polys), len(ct2.polys))
+    polys = []
+    for i in range(k):
+        if i < len(ct1.polys) and i < len(ct2.polys):
+            polys.append(dcrt.sub(ct1.polys[i], ct2.polys[i]))
+        elif i < len(ct1.polys):
+            polys.append(ct1.polys[i])
+        else:
+            polys.append(dcrt.neg(ct2.polys[i]))
+    return Ciphertext(tuple(polys), ct1.scale)
+
+
+def eval_mult(ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+    """Tensor product without relinearization (degree grows).
+
+    (role of LeveledSHEBase::EvalMultCore,
+    ``pke/lib/schemebase/base-leveledshe.cpp:657-696``)
+    """
+    _align(ct1, ct2)
+    d1, d2 = len(ct1.polys), len(ct2.polys)
+    out = [None] * (d1 + d2 - 1)
+    for i in range(d1):
+        for j in range(d2):
+            p = dcrt.mul(ct1.polys[i], ct2.polys[j])
+            out[i + j] = p if out[i + j] is None else dcrt.add(out[i + j], p)
+    return Ciphertext(tuple(out), ct1.scale * ct2.scale)
+
+
+def relinearize(ct: Ciphertext, evk: keyswitch.KSKey) -> Ciphertext:
+    """Reduce a degree-2 ciphertext back to 2 components."""
+    assert len(ct.polys) == 3
+    d0, d1 = keyswitch.apply(evk, ct.polys[2])
+    return Ciphertext((dcrt.add(ct.polys[0], d0),
+                       dcrt.add(ct.polys[1], d1)), ct.scale)
+
+
+def eval_mult_relin(ct1: Ciphertext, ct2: Ciphertext,
+                    evk: keyswitch.KSKey) -> Ciphertext:
+    return relinearize(eval_mult(ct1, ct2), evk)
+
+
+def eval_square_relin(ct: Ciphertext, evk: keyswitch.KSKey) -> Ciphertext:
+    return relinearize(eval_mult(ct, ct), evk)
+
+
+def rescale(ct: Ciphertext) -> Ciphertext:
+    """Drop the last tower and divide by its modulus (FIXEDMANUAL ModReduce;
+    reference: LeveledSHECKKSRNS::ModReduceInternalInPlace ->
+    DropLastElementAndScale)."""
+    moduli = ct.basis.moduli
+    new_basis = ct.basis.drop_last()
+    polys = []
+    for p in ct.polys:
+        data = rns.rescale_eval(p.data, moduli)
+        polys.append(dcrt.make_poly(new_basis, data, Format.EVAL))
+    return Ciphertext(tuple(polys), ct.scale / moduli[-1])
+
+
+def level_reduce(ct: Ciphertext, levels: int = 1) -> Ciphertext:
+    """Drop towers without scaling (reference: LevelReduce)."""
+    new_basis = ct.basis.drop_last(levels)
+    L = new_basis.L
+    polys = [dcrt.make_poly(new_basis, U64(p.lo[:L], p.hi[:L]), Format.EVAL)
+             for p in ct.polys]
+    return Ciphertext(tuple(polys), ct.scale)
+
+
+def eval_rotate(ct: Ciphertext, rot: int, rot_key: keyswitch.KSKey
+                ) -> Ciphertext:
+    """Rotate slots by `rot` (reference: EvalAtIndex / EvalAutomorphism)."""
+    assert len(ct.polys) == 2
+    n = ct.basis.n
+    k = rotation_indices_to_galois(n, rot)
+    c0 = dcrt.automorphism(ct.polys[0], k)
+    c1 = dcrt.automorphism(ct.polys[1], k)
+    d0, d1 = keyswitch.apply(rot_key, c1)
+    return Ciphertext((dcrt.add(c0, d0), d1), ct.scale)
+
+
+def eval_conjugate(ct: Ciphertext, conj_key: keyswitch.KSKey) -> Ciphertext:
+    assert len(ct.polys) == 2
+    n = ct.basis.n
+    k = 2 * n - 1
+    c0 = dcrt.automorphism(ct.polys[0], k)
+    c1 = dcrt.automorphism(ct.polys[1], k)
+    d0, d1 = keyswitch.apply(conj_key, c1)
+    return Ciphertext((dcrt.add(c0, d0), d1), ct.scale)
+
+
+def eval_add_plain(ctx: CKKSContext, ct: Ciphertext,
+                   values: Sequence[complex]) -> Ciphertext:
+    pt = encode(ctx, values, towers=ct.towers, scale=ct.scale)
+    return Ciphertext((dcrt.add(ct.polys[0], pt),) + ct.polys[1:], ct.scale)
+
+
+def eval_mult_plain(ctx: CKKSContext, ct: Ciphertext,
+                    values: Sequence[complex]) -> Ciphertext:
+    pt = encode(ctx, values, towers=ct.towers)
+    return Ciphertext(tuple(dcrt.mul(p, pt) for p in ct.polys),
+                      ct.scale * ctx.scale)
+
+
+# Jitted entry points (static metadata on Ciphertext drives specialization).
+eval_add = jax.jit(eval_add)
+eval_sub = jax.jit(eval_sub)
+eval_mult = jax.jit(eval_mult)
+relinearize = jax.jit(relinearize)
+eval_mult_relin = jax.jit(eval_mult_relin)
+eval_square_relin = jax.jit(eval_square_relin)
+rescale = jax.jit(rescale)
+level_reduce = jax.jit(level_reduce, static_argnums=1)
+eval_rotate = jax.jit(eval_rotate, static_argnums=1)
+eval_conjugate = jax.jit(eval_conjugate)

@@ -41,12 +41,16 @@ def u64(lo, hi) -> U64:
 
 
 def from_int(value: int, shape=(), dtype=np.uint32) -> U64:
-    """Host helper: broadcast a Python int (< 2^64) to a U64 of given shape."""
+    """Host helper: broadcast a Python int (< 2^64) to a U64 of given shape.
+
+    Returns numpy-backed arrays: constants stay on the host until captured
+    by jit (avoids device round trips during lowering).
+    """
     value = int(value)
     assert 0 <= value < (1 << 64)
     lo = np.full(shape, value & 0xFFFFFFFF, dtype=dtype)
     hi = np.full(shape, value >> 32, dtype=dtype)
-    return U64(jnp.asarray(lo), jnp.asarray(hi))
+    return U64(lo, hi)
 
 
 def from_int_array(values, dtype=np.uint32) -> U64:
@@ -59,7 +63,7 @@ def from_int_array(values, dtype=np.uint32) -> U64:
     flat = [int(v) for v in obj.ravel()]
     lo = np.asarray([v & 0xFFFFFFFF for v in flat], dtype).reshape(obj.shape)
     hi = np.asarray([(v >> 32) & 0xFFFFFFFF for v in flat], dtype).reshape(obj.shape)
-    return U64(jnp.asarray(lo), jnp.asarray(hi))
+    return U64(lo, hi)
 
 
 def to_int_array(x: U64) -> np.ndarray:

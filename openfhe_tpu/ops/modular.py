@@ -78,7 +78,7 @@ def make_mod_consts(moduli: Sequence[int], trailing_dims: int = 1) -> ModConsts:
     def mk(vals):
         lo = np.asarray([v & 0xFFFFFFFF for v in vals], np.uint32).reshape(shape)
         hi = np.asarray([v >> 32 for v in vals], np.uint32).reshape(shape)
-        return U64(jnp.asarray(lo), jnp.asarray(hi))
+        return U64(lo, hi)  # host-resident constants; jit captures them
 
     mus = [(1 << 64) // q for q in qs]
     r64s = [(1 << 64) % q for q in qs]

@@ -28,6 +28,7 @@ import math
 from functools import lru_cache
 from typing import NamedTuple, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,11 +54,11 @@ def bit_reverse_perm(n: int) -> np.ndarray:
 
 
 def _pack_table(values_per_tower, shape):
-    """list-of-list of ints -> U64 with given shape."""
+    """list-of-list of ints -> U64 with given shape (host-resident)."""
     flat = [v for tower in values_per_tower for v in tower]
     lo = np.asarray([v & 0xFFFFFFFF for v in flat], np.uint32).reshape(shape)
     hi = np.asarray([(v >> 32) & 0xFFFFFFFF for v in flat], np.uint32).reshape(shape)
-    return U64(jnp.asarray(lo), jnp.asarray(hi))
+    return U64(lo, hi)
 
 
 class NTTPlan(NamedTuple):
@@ -180,3 +181,26 @@ def inverse(plan: NTTPlan, a: U64) -> U64:
         m = h
     out = mul_mod_shoup(U64(lo, hi), plan.n_inv, plan.n_inv_pre, q)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Jitted entry points (compiled once per (n, moduli, batch-shape))
+# ---------------------------------------------------------------------------
+
+_JIT_CACHE: dict = {}
+
+
+def forward_jit(plan: NTTPlan, a: U64) -> U64:
+    key = ("fwd", plan.n, plan.moduli)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = _JIT_CACHE[key] = jax.jit(lambda x, p=plan: forward(p, x))
+    return fn(a)
+
+
+def inverse_jit(plan: NTTPlan, a: U64) -> U64:
+    key = ("inv", plan.n, plan.moduli)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = _JIT_CACHE[key] = jax.jit(lambda x, p=plan: inverse(p, x))
+    return fn(a)

@@ -109,6 +109,24 @@ def next_prime(q: int, m: int) -> int:
     return q
 
 
+def prev_ntt_prime_below(x: int, m: int) -> int:
+    """Largest prime q < x with q ≡ 1 (mod m)."""
+    q = x - 1 - ((x - 2) % m)  # largest value < x that is ≡ 1 mod m
+    while q > m and not is_prime(q):
+        q -= m
+    if q <= m:
+        raise ValueError("no NTT-friendly prime below bound")
+    return q
+
+
+def next_ntt_prime_above(x: int, m: int) -> int:
+    """Smallest prime q > x with q ≡ 1 (mod m)."""
+    q = x + 1 + ((-x) % m)  # smallest value > x that is ≡ 1 mod m
+    while not is_prime(q):
+        q += m
+    return q
+
+
 def primitive_root(q: int) -> int:
     """Smallest generator of (Z/q)^* for prime q."""
     phi = q - 1

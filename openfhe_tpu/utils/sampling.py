@@ -1,0 +1,39 @@
+"""Host-side randomness: secret/error/uniform polynomial sampling.
+
+Counterpart of the reference's distribution generators
+(``math/discretegaussiangenerator.h``, ternary/discrete-uniform generators,
+Blake2 PRNG) — randomness quality matters, bit-compatibility does not, so we
+use numpy's PCG64 (or any np.random.Generator supplied by the caller).
+Residues are produced directly per tower; independent uniform residues per
+tower ARE the uniform distribution over Z_Q by CRT.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+
+def ternary_coeffs(n: int, rng: np.random.Generator) -> np.ndarray:
+    """Uniform ternary secret coefficients in {-1, 0, 1} (int64)."""
+    return rng.integers(-1, 2, size=n, dtype=np.int64)
+
+
+def gaussian_coeffs(n: int, rng: np.random.Generator,
+                    sigma: float = 3.19) -> np.ndarray:
+    """Rounded-Gaussian error coefficients (int64), sigma per HE standard."""
+    return np.rint(rng.normal(0.0, sigma, size=n)).astype(np.int64)
+
+
+def uniform_rns_rows(n: int, moduli: Sequence[int],
+                     rng: np.random.Generator) -> List[List[int]]:
+    """Uniform element of R_Q in RNS form: independent uniforms per tower."""
+    return [[int(v) for v in rng.integers(0, q, size=n, dtype=np.uint64)]
+            for q in moduli]
+
+
+def signed_to_rns_rows(coeffs, moduli: Sequence[int]) -> List[List[int]]:
+    """Small signed integer coefficients -> RNS rows (exact, Python ints)."""
+    cs = [int(c) for c in coeffs]
+    return [[c % q for c in cs] for q in moduli]
