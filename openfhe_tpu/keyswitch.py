@@ -50,6 +50,7 @@ class KSParams:
     q_moduli: Tuple[int, ...]
     p_moduli: Tuple[int, ...]
     alpha: int  # towers per digit
+    plaintext_correction: int = 1  # t for BGV (mod-down lift ≡ 0 mod t)
 
     @property
     def dnum(self) -> int:
@@ -130,9 +131,11 @@ def full_basis(params: KSParams) -> RnsBasis:
 
 
 def keygen(params: KSParams, s_from: RnsPoly, s_to: RnsPoly,
-           rng: np.random.Generator, sigma: float = 3.19) -> KSKey:
+           rng: np.random.Generator, sigma: float = 3.19,
+           error_scale: int = 1) -> KSKey:
     """Generate a switching key s_to -> s_from. Both secrets are EVAL-form
-    RnsPolys over the full extended basis Q*P.
+    RnsPolys over the full extended basis Q*P. error_scale multiplies the
+    sampled error (t for BGV keys, 1 otherwise).
 
     (Reference role: KeySwitchHYBRID::KeySwitchGenInternal.)
     """
@@ -155,7 +158,7 @@ def keygen(params: KSParams, s_from: RnsPoly, s_to: RnsPoly,
         a_rows = sampling.uniform_rns_rows(n, moduli, rng)
         a = rns_poly_from_rows(basis, a_rows, Format.EVAL)
         e_rows = sampling.signed_to_rns_rows(
-            sampling.gaussian_coeffs(n, rng, sigma), moduli)
+            sampling.gaussian_coeffs(n, rng, sigma) * error_scale, moduli)
         e_coeff = from_int_array(np.asarray(e_rows, dtype=object))
         fj = U64(fac.lo[j], fac.hi[j])
         fj_pre = U64(fac_pre.lo[j], fac_pre.hi[j])
@@ -224,7 +227,8 @@ def apply(key: KSKey, c: RnsPoly) -> Tuple[RnsPoly, RnsPoly]:
         cc = ntt_ops.inverse(eb.plan, acc)
         xq = U64(cc.lo[:lvl], cc.hi[:lvl])
         xp = U64(cc.lo[lvl:], cc.hi[lvl:])
-        down = rns.approx_mod_down(xq, xp, q_act, params.p_moduli)
+        down = rns.approx_mod_down(xq, xp, q_act, params.p_moduli,
+                                   params.plaintext_correction)
         return ntt_ops.forward(c.basis.plan, down)
 
     d0 = make_poly(c.basis, mod_down(acc0), Format.EVAL)

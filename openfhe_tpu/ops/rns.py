@@ -101,26 +101,44 @@ def approx_switch_basis(x: U64, from_moduli: tuple, to_moduli: tuple) -> U64:
 
 
 @lru_cache(maxsize=None)
-def _mod_down_tables(q_moduli: tuple, p_moduli: tuple):
-    """P^{-1} mod q_i table for ApproxModDown."""
+def _mod_down_tables(q_moduli: tuple, p_moduli: tuple, t: int):
+    """Tables for ApproxModDown: P^{-1} mod q_i, plus (for BGV, t > 1)
+    t^{-1} mod p_j and t mod q_i Shoup constants."""
     P = 1
     for p in p_moduli:
         P *= p
     pinv = [[pow(P % q, -1, q)] for q in q_moduli]
     vals, pres = _const_table(pinv, (len(q_moduli), 1), [[q] for q in q_moduli])
     qmod = make_mod_consts(q_moduli, trailing_dims=1)
-    return vals, pres, qmod
+    pmod = make_mod_consts(p_moduli, trailing_dims=1)
+    if t == 1:
+        return vals, pres, qmod, None
+    tinv_p = _const_table([[pow(t % p, -1, p)] for p in p_moduli],
+                          (len(p_moduli), 1), [[p] for p in p_moduli])
+    t_q = _const_table([[t % q] for q in q_moduli],
+                       (len(q_moduli), 1), [[q] for q in q_moduli])
+    return vals, pres, qmod, (tinv_p, t_q, pmod)
 
 
-def approx_mod_down(x_q: U64, x_p: U64, q_moduli: tuple, p_moduli: tuple) -> U64:
+def approx_mod_down(x_q: U64, x_p: U64, q_moduli: tuple, p_moduli: tuple,
+                    t: int = 1) -> U64:
     """Scale x (over Q*P, given as its Q-part [L,n] and P-part [K,n], both in
-    COEFFICIENT domain) by 1/P: out_i = (x_i - conv(x_p)_i) * P^{-1} mod q_i.
+    COEFFICIENT domain) by 1/P: out_i = (x_i - V_i) * P^{-1} mod q_i where
+    V ≡ x (mod P).
 
+    For BGV (t > 1) the lift V must also be ≡ 0 (mod t) so the rounding
+    error stays a multiple of the plaintext modulus: V = t*conv(t^{-1}*x_p)
+    (the reference's t-aware ApproxModDown with tInvModp/tModqPrecon tables).
     Reference: ApproxModDown (``dcrtpoly-impl.h:1134``).
     """
     q_moduli, p_moduli = tuple(q_moduli), tuple(p_moduli)
+    pinv, pinv_pre, qmod, t_tabs = _mod_down_tables(q_moduli, p_moduli, t)
+    if t_tabs is not None:
+        (tinv, tinv_pre), (tq, tq_pre), pmod = t_tabs
+        x_p = mul_mod_shoup(x_p, tinv, tinv_pre, pmod.q)
     conv = approx_switch_basis(x_p, p_moduli, q_moduli)
-    pinv, pinv_pre, qmod = _mod_down_tables(q_moduli, p_moduli)
+    if t_tabs is not None:
+        conv = mul_mod_shoup(conv, tq, tq_pre, qmod.q)
     diff = sub_mod(x_q, conv, qmod.q)
     return mul_mod_shoup(diff, pinv, pinv_pre, qmod.q)
 
