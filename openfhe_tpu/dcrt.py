@@ -173,9 +173,16 @@ def tower_const(basis: RnsBasis, consts) -> tuple:
     return _tower_const(basis, tuple(int(c) for c in consts))
 
 
-def mul_tower_const(a: RnsPoly, consts) -> RnsPoly:
+def _mul_tower_const(a: RnsPoly, consts: tuple) -> RnsPoly:
     cc, pre = tower_const(a.basis, consts)
     return a.with_data(modular.mul_mod_shoup(a.data, cc, pre, a.basis.mod.q))
+
+
+_mul_tower_const_jit = jax.jit(_mul_tower_const, static_argnums=1)
+
+
+def mul_tower_const(a: RnsPoly, consts) -> RnsPoly:
+    return _mul_tower_const_jit(a, tuple(int(c) for c in consts))
 
 
 # ---------------------------------------------------------------------------

@@ -144,15 +144,7 @@ def keygen(params: KSParams, s_from: RnsPoly, s_to: RnsPoly,
     n = params.n
     moduli = basis.moduli
     fac, fac_pre = _digit_factor_table(params)
-    mod = basis.mod
-
-    @jax.jit
-    def digit_b(a_data, e_coeff_data, s_from_data, s_to_data, fj, fj_pre):
-        e = ntt_ops.forward(basis.plan, e_coeff_data)
-        gterm = mul_mod_shoup(s_to_data, fj, fj_pre, mod.q)
-        a_s = mul_mod(a_data, s_from_data, mod)
-        return sub_mod(add_mod(gterm, e, mod.q), a_s, mod.q)
-
+    digit_b = _digit_b_fn(basis)
     b_list, a_list = [], []
     for j in range(params.dnum):
         a_rows = sampling.uniform_rns_rows(n, moduli, rng)
@@ -170,6 +162,22 @@ def keygen(params: KSParams, s_from: RnsPoly, s_to: RnsPoly,
     a_lo = jnp.stack([a.lo for a in a_list])
     a_hi = jnp.stack([a.hi for a in a_list])
     return KSKey(b_lo, b_hi, a_lo, a_hi, params)
+
+
+@lru_cache(maxsize=None)
+def _digit_b_fn(basis: RnsBasis):
+    """Jitted b_j = -a s + e + f_j s' computation, cached per basis (a fresh
+    closure per keygen call would recompile on every rotation key)."""
+    mod = basis.mod
+
+    @jax.jit
+    def digit_b(a_data, e_coeff_data, s_from_data, s_to_data, fj, fj_pre):
+        e = ntt_ops.forward(basis.plan, e_coeff_data)
+        gterm = mul_mod_shoup(s_to_data, fj, fj_pre, mod.q)
+        a_s = mul_mod(a_data, s_from_data, mod)
+        return sub_mod(add_mod(gterm, e, mod.q), a_s, mod.q)
+
+    return digit_b
 
 
 def rns_poly_from_rows(basis: RnsBasis, rows, fmt: Format) -> RnsPoly:

@@ -1,0 +1,296 @@
+"""BFV (scale-invariant) scheme over RNS towers (TPU-native).
+
+Covers the reference's BFVrns family (``pke/lib/scheme/bfvrns/``), HPS
+multiplication variant: messages scaled by Delta = floor(Q/t) at encryption;
+EvalMult lifts both ciphertexts to the extended basis Q*R (approximate
+mod-up — the spurious Q-multiples vanish after the t/Q scale-and-round),
+tensors there, scales by t/Q into R, and switches exactly back to Q.
+
+Device pipeline per EvalMult: 4 iNTT(Q) + 4 NTT(QR) + tensor + 3 iNTT(QR)
++ 3 [scale-and-round + exact switch] + 3 NTT(Q) — all batched array code.
+(Reference stack: BFVrns EvalMultCore -> ExpandCRTBasis -> ScaleAndRound,
+``bfvrns-leveledshe.cpp`` + ``dcrtpoly-impl.h:1311,1876``.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+from typing import Dict, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from .. import dcrt, encoding, keyswitch
+from ..dcrt import Format, RnsBasis, RnsPoly
+from ..ops import ntt as ntt_ops
+from ..ops import rns
+from ..ops.limb import U64
+from ..utils import nbtheory, sampling
+from .ckks import PublicKey, SecretKey, crt_interpolate_centered
+
+
+@dataclasses.dataclass(frozen=True)
+class BFVParams:
+    ring_dim: int = 1 << 12
+    plaintext_modulus: int = 65537
+    num_towers: int = 3
+    mod_size: int = 60
+    dnum: int = 3
+    sigma: float = 3.19
+
+
+@dataclasses.dataclass(frozen=True)
+class BFVContext:
+    params: BFVParams
+    q_moduli: Tuple[int, ...]
+    r_moduli: Tuple[int, ...]  # extension basis for multiplication
+    p_moduli: Tuple[int, ...]  # keyswitch special primes
+
+    @property
+    def n(self) -> int:
+        return self.params.ring_dim
+
+    @property
+    def t(self) -> int:
+        return self.params.plaintext_modulus
+
+    @property
+    def Q(self) -> int:
+        prod = 1
+        for q in self.q_moduli:
+            prod *= q
+        return prod
+
+    @property
+    def delta_rows(self) -> Tuple[int, ...]:
+        """[Delta]_{q_i} with Delta = floor(Q/t)."""
+        d = self.Q // self.t
+        return tuple(d % q for q in self.q_moduli)
+
+    @property
+    def ks_params(self) -> keyswitch.KSParams:
+        alpha = -(-len(self.q_moduli) // self.params.dnum)
+        return keyswitch.KSParams(self.n, self.q_moduli, self.p_moduli, alpha)
+
+    def basis(self) -> RnsBasis:
+        return RnsBasis(self.n, self.q_moduli)
+
+    @property
+    def ext_basis(self) -> RnsBasis:
+        return RnsBasis(self.n, self.q_moduli + self.r_moduli)
+
+    @property
+    def full_qp_basis(self) -> RnsBasis:
+        return RnsBasis(self.n, self.q_moduli + self.p_moduli)
+
+
+def gen_context(params: BFVParams) -> BFVContext:
+    n, t = params.ring_dim, params.plaintext_modulus
+    assert (t - 1) % (2 * n) == 0, "t must be ≡ 1 mod 2n for packed slots"
+    m = 2 * n
+    qs = tuple(nbtheory.generate_prime_chain(params.num_towers,
+                                             params.mod_size, n))
+    rs = tuple(nbtheory.generate_prime_chain(params.num_towers + 1,
+                                             params.mod_size, n, list(qs)))
+    alpha = -(-params.num_towers // params.dnum)
+    ps = tuple(nbtheory.generate_prime_chain(alpha, params.mod_size, n,
+                                             list(qs) + list(rs)))
+    return BFVContext(params, qs, rs, ps)
+
+
+def keygen(ctx: BFVContext, rng: np.random.Generator
+           ) -> Tuple[PublicKey, SecretKey]:
+    n = ctx.n
+    sk = SecretKey(sampling.ternary_coeffs(n, rng))
+    basis = ctx.basis()
+    s = sk.poly(basis)
+    a = dcrt.from_int_rows(
+        basis, sampling.uniform_rns_rows(n, basis.moduli, rng), Format.EVAL)
+    e = _error_poly(ctx, basis, rng)
+    b = dcrt.sub(e, dcrt.mul(a, s))
+    return PublicKey(b, a), sk
+
+
+def _error_poly(ctx: BFVContext, basis: RnsBasis,
+                rng: np.random.Generator) -> RnsPoly:
+    rows = sampling.signed_to_rns_rows(
+        sampling.gaussian_coeffs(ctx.n, rng, ctx.params.sigma), basis.moduli)
+    return dcrt.to_eval(dcrt.from_int_rows(basis, rows, Format.COEFF))
+
+
+def relin_keygen(ctx: BFVContext, sk: SecretKey,
+                 rng: np.random.Generator) -> keyswitch.KSKey:
+    qp = ctx.full_qp_basis
+    s = sk.poly(qp)
+    s2 = dcrt.mul(s, s)
+    return keyswitch.keygen(ctx.ks_params, s, s2, rng, ctx.params.sigma)
+
+
+def rot_keygen(ctx: BFVContext, sk: SecretKey, galois_elts: Sequence[int],
+               rng: np.random.Generator) -> Dict[int, keyswitch.KSKey]:
+    qp = ctx.full_qp_basis
+    s = sk.poly(qp)
+    return {k: keyswitch.keygen(ctx.ks_params, s, dcrt.automorphism(s, k),
+                                rng, ctx.params.sigma)
+            for k in galois_elts}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Ciphertext:
+    polys: Tuple[RnsPoly, ...]
+
+    @property
+    def basis(self) -> RnsBasis:
+        return self.polys[0].basis
+
+
+def encode(ctx: BFVContext, values: Sequence[int]) -> RnsPoly:
+    """Packed slots -> Delta-scaled EVAL plaintext poly over Q."""
+    coeffs = encoding.packed_encode(values, ctx.n, ctx.t)
+    basis = ctx.basis()
+    rows = sampling.signed_to_rns_rows(coeffs, basis.moduli)
+    p = dcrt.to_eval(dcrt.from_int_rows(basis, rows, Format.COEFF))
+    return dcrt.mul_tower_const(p, ctx.delta_rows)
+
+
+def encrypt(ctx: BFVContext, pk: PublicKey, values: Sequence[int],
+            rng: np.random.Generator) -> Ciphertext:
+    basis = ctx.basis()
+    mpoly = encode(ctx, values)
+    v_rows = sampling.signed_to_rns_rows(
+        sampling.ternary_coeffs(ctx.n, rng), basis.moduli)
+    v = dcrt.to_eval(dcrt.from_int_rows(basis, v_rows, Format.COEFF))
+    e0 = _error_poly(ctx, basis, rng)
+    e1 = _error_poly(ctx, basis, rng)
+    c0 = dcrt.add(dcrt.add(dcrt.mul(pk.b, v), e0), mpoly)
+    c1 = dcrt.add(dcrt.mul(pk.a, v), e1)
+    return Ciphertext((c0, c1))
+
+
+def decrypt(ctx: BFVContext, sk: SecretKey, ct: Ciphertext,
+            num_slots: int | None = None) -> list:
+    """m = packed_decode(round(t*(c0 + c1 s + ...)/Q) mod t)."""
+    basis = ct.basis
+    s = sk.poly(basis)
+    acc = ct.polys[0]
+    s_pow = s
+    for c in ct.polys[1:]:
+        acc = dcrt.add(acc, dcrt.mul(c, s_pow))
+        s_pow = dcrt.mul(s_pow, s)
+    coeff = dcrt.to_coeff(acc)
+    scaled = _decrypt_scale(ctx)(coeff.data)  # [1, n] residues mod t
+    from ..ops.limb import to_int_array
+    vals = [int(v) for v in to_int_array(scaled)[0]]
+    slots = encoding.packed_decode(vals, ctx.n, ctx.t)
+    return slots[:num_slots] if num_slots else slots
+
+
+@lru_cache(maxsize=None)
+def _decrypt_scale(ctx: BFVContext):
+    qm, t = ctx.q_moduli, ctx.t
+
+    @jax.jit
+    def fn(x: U64) -> U64:
+        return rns.scale_and_round(x, qm, (t,), t, qm)
+
+    return fn
+
+
+def eval_add(ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+    assert ct1.basis == ct2.basis
+    return Ciphertext(tuple(dcrt.add(a, b)
+                            for a, b in zip(ct1.polys, ct2.polys)))
+
+
+def eval_sub(ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+    assert ct1.basis == ct2.basis
+    return Ciphertext(tuple(dcrt.sub(a, b)
+                            for a, b in zip(ct1.polys, ct2.polys)))
+
+
+@lru_cache(maxsize=None)
+def _mult_pipeline(ctx: BFVContext):
+    """Jitted HPS EvalMult core over raw U64 stacks."""
+    qm, rm = ctx.q_moduli, ctx.r_moduli
+    sm = qm + rm
+    t = ctx.t
+    n = ctx.n
+    q_basis = ctx.basis()
+    s_basis = ctx.ext_basis
+
+    def lift(x_eval: U64) -> U64:
+        """EVAL over Q -> EVAL over S = Q∪R (approx mod-up)."""
+        x_coeff = ntt_ops.inverse(q_basis.plan, x_eval)
+        conv = rns.approx_switch_basis(x_coeff, qm, rm)
+        lo = jax.numpy.concatenate([x_coeff.lo, conv.lo], axis=0)
+        hi = jax.numpy.concatenate([x_coeff.hi, conv.hi], axis=0)
+        return ntt_ops.forward(s_basis.plan, U64(lo, hi))
+
+    def scale_back(y_eval: U64) -> U64:
+        """EVAL over S -> EVAL over Q: round(t*Y/Q) via R, exact switch."""
+        y_coeff = ntt_ops.inverse(s_basis.plan, y_eval)
+        y_r = rns.scale_and_round(y_coeff, sm, rm, t, qm)
+        y_q = rns.exact_switch_basis(y_r, rm, qm)
+        return ntt_ops.forward(q_basis.plan, y_q)
+
+    from ..ops.modular import add_mod, mul_mod
+
+    @jax.jit
+    def fn(c10, c11, c20, c21):
+        l10, l11, l20, l21 = lift(c10), lift(c11), lift(c20), lift(c21)
+        smod = s_basis.mod
+        d0 = mul_mod(l10, l20, smod)
+        d1 = add_mod(mul_mod(l10, l21, smod), mul_mod(l11, l20, smod), smod.q)
+        d2 = mul_mod(l11, l21, smod)
+        return scale_back(d0), scale_back(d1), scale_back(d2)
+
+    return fn
+
+
+def eval_mult(ctx: BFVContext, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+    assert len(ct1.polys) == 2 and len(ct2.polys) == 2
+    fn = _mult_pipeline(ctx)
+    d0, d1, d2 = fn(ct1.polys[0].data, ct1.polys[1].data,
+                    ct2.polys[0].data, ct2.polys[1].data)
+    basis = ctx.basis()
+    return Ciphertext(tuple(dcrt.make_poly(basis, d, Format.EVAL)
+                            for d in (d0, d1, d2)))
+
+
+def relinearize(ct: Ciphertext, evk: keyswitch.KSKey) -> Ciphertext:
+    assert len(ct.polys) == 3
+    d0, d1 = keyswitch.apply(evk, ct.polys[2])
+    return Ciphertext((dcrt.add(ct.polys[0], d0),
+                       dcrt.add(ct.polys[1], d1)))
+
+
+def eval_mult_relin(ctx: BFVContext, ct1: Ciphertext, ct2: Ciphertext,
+                    evk: keyswitch.KSKey) -> Ciphertext:
+    return relinearize(eval_mult(ctx, ct1, ct2), evk)
+
+
+def eval_automorphism(ct: Ciphertext, k: int,
+                      rot_key: keyswitch.KSKey) -> Ciphertext:
+    assert len(ct.polys) == 2
+    c0 = dcrt.automorphism(ct.polys[0], k)
+    c1 = dcrt.automorphism(ct.polys[1], k)
+    d0, d1 = keyswitch.apply(rot_key, c1)
+    return Ciphertext((dcrt.add(c0, d0), d1))
+
+
+def eval_add_plain(ctx: BFVContext, ct: Ciphertext,
+                   values: Sequence[int]) -> Ciphertext:
+    pt = encode(ctx, values)
+    return Ciphertext((dcrt.add(ct.polys[0], pt),) + ct.polys[1:])
+
+
+def eval_mult_plain(ctx: BFVContext, ct: Ciphertext,
+                    values: Sequence[int]) -> Ciphertext:
+    """Multiply by an UNSCALED packed plaintext (no Delta factor)."""
+    coeffs = encoding.packed_encode(values, ctx.n, ctx.t)
+    basis = ctx.basis()
+    rows = sampling.signed_to_rns_rows(coeffs, basis.moduli)
+    pt = dcrt.to_eval(dcrt.from_int_rows(basis, rows, Format.COEFF))
+    return Ciphertext(tuple(dcrt.mul(p, pt) for p in ct.polys))

@@ -26,9 +26,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils import nbtheory
-from .limb import U64, from_int_array
+from .limb import U64, add64, add64_carry, from_int, from_int_array, mul64_full
 from .modular import (
     add_mod,
+    barrett_word,
     make_mod_consts,
     mul_mod_shoup,
     shoup_precon_int,
@@ -194,3 +195,178 @@ def drop_last_and_scale(x: U64, moduli: tuple) -> U64:
     s = switch_modulus(x_last, old_mod, new_mod)  # [L-1, n]
     diff = sub_mod(x_rest, s, new_mod.q)
     return mul_mod_shoup(diff, inv, inv_pre, new_mod.q)
+
+
+# ---------------------------------------------------------------------------
+# BFV machinery: HPS scale-and-round and exact CRT basis switch.
+#
+# Fractional parts are carried in 64-bit fixed point with 128-bit
+# accumulation — strictly more precise than the reference's double-precision
+# lazy accumulation (``dcrtpoly-impl.h:1876`` ScaleAndRound; ``:1178``
+# SwitchCRTBasis with double-based overflow count).
+# ---------------------------------------------------------------------------
+
+
+def _accum_128(terms):
+    """Sum of (lo: U64, hi: U64) 128-bit values; returns (lo, hi)."""
+    acc_lo, acc_hi = terms[0]
+    for lo, hi in terms[1:]:
+        acc_lo, carry = add64_carry(acc_lo, lo)
+        acc_hi = add64(add64(acc_hi, hi), U64(carry, jnp.zeros_like(carry)))
+    return acc_lo, acc_hi
+
+
+def _round_shift_64(acc_lo: U64, acc_hi: U64) -> U64:
+    """round(A / 2^64) for a 128-bit A = (lo, hi): hi + (lo >= 2^63)."""
+    half_bit = (acc_lo.hi >> 31).astype(jnp.uint32)
+    return add64(acc_hi, U64(half_bit, jnp.zeros_like(half_bit)))
+
+
+@lru_cache(maxsize=None)
+def _scale_round_tables(s_moduli: tuple, r_moduli: tuple, t: int,
+                        q_moduli: tuple):
+    """Tables for round(t*X/Q) mod r_j, X over S, Q = prod(q_moduli) ⊆ S."""
+    S = 1
+    for s in s_moduli:
+        S *= s
+    Q = 1
+    for q in q_moduli:
+        Q *= q
+    assert S % Q == 0, "Q must divide the S-product"
+    Rt = t * (S // Q)
+    for r in r_moduli:
+        assert Rt % r == 0, "overflow term t*S/Q must vanish mod each target"
+    # \hat{S}_s^{-1} mod s
+    shat_inv = [pow((S // s) % s, -1, s) for s in s_moduli]
+    sinv, sinv_pre = _const_table([[v] for v in shat_inv],
+                                  (len(s_moduli), 1), [[s] for s in s_moduli])
+    # t*\hat{S}_s/Q = omega_s + theta_s
+    omegas, phis = [], []
+    for s in s_moduli:
+        # exact integer and fractional split of t*\hat{S}_s/Q, \hat{S}_s = S/s
+        num = t * (S // s)
+        den = Q
+        omega = num // den
+        frac_num = num - omega * den
+        phi = (frac_num << 64) // den
+        # round-to-nearest of theta*2^64
+        if 2 * ((frac_num << 64) % den) >= den:
+            phi += 1
+        omegas.append(omega)
+        phis.append(phi)
+    om_rows = [[[om % r] for om in omegas] for r in r_moduli]
+    om_pre = [[[shoup_precon_int(om % r, r)] for om in omegas]
+              for r in r_moduli]
+    K, L = len(r_moduli), len(s_moduli)
+    om_t = from_int_array(np.asarray(om_rows, dtype=object).reshape(K, L, 1))
+    om_p = from_int_array(np.asarray(om_pre, dtype=object).reshape(K, L, 1))
+    phi_t = from_int_array(np.asarray([[p] for p in phis],
+                                      dtype=object).reshape(L, 1))
+    s_mod = make_mod_consts(s_moduli, trailing_dims=1)
+    r_mod = make_mod_consts(r_moduli, trailing_dims=1)
+    return (sinv, sinv_pre), (om_t, om_p), phi_t, s_mod, r_mod
+
+
+def scale_and_round(x: U64, s_moduli: tuple, r_moduli: tuple, t: int,
+                    q_moduli: tuple) -> U64:
+    """round(t * X / Q) mod r_j for X given over basis S (COEFF domain),
+    Q = prod(q_moduli) (must divide prod(S)); output over r_moduli.
+
+    out_j = sum_s xhat_s*floor(t*Shat_s/Q) + round(sum_s xhat_s*theta_s)
+    with xhat_s = [x_s * Shat_s^{-1}]_s. The overflow term v*t*S/Q vanishes
+    mod every r_j by the assert in table construction.
+    (Reference: DCRTPolyImpl::ScaleAndRound overloads,
+    ``dcrtpoly-impl.h:1537,1876,2005``.)
+    """
+    s_moduli, r_moduli, q_moduli = map(tuple, (s_moduli, r_moduli, q_moduli))
+    (sinv, sinv_pre), (om_t, om_p), phi_t, s_mod, r_mod = _scale_round_tables(
+        s_moduli, r_moduli, t, q_moduli)
+    xhat = mul_mod_shoup(x, sinv, sinv_pre, s_mod.q)  # [L, n]
+    L, K = len(s_moduli), len(r_moduli)
+    # fractional accumulation in 128-bit
+    frac_terms = []
+    for i in range(L):
+        xi = U64(xhat.lo[i], xhat.hi[i])
+        phi = U64(phi_t.lo[i], phi_t.hi[i])
+        frac_terms.append(mul64_full(xi, phi))
+    acc_lo, acc_hi = _accum_128(frac_terms)
+    rt = _round_shift_64(acc_lo, acc_hi)
+    round_term = U64(rt.lo[None, :], rt.hi[None, :])      # [1, n]
+    rt_mod = barrett_word(round_term, r_mod.q, r_mod.mu)  # [K, n]
+    acc = rt_mod
+    for i in range(L):
+        xi = U64(xhat.lo[i][None, :], xhat.hi[i][None, :])
+        c = U64(om_t.lo[:, i], om_t.hi[:, i])
+        cp = U64(om_p.lo[:, i], om_p.hi[:, i])
+        acc = add_mod(acc, mul_mod_shoup(xi, c, cp, r_mod.q), r_mod.q)
+    return acc
+
+
+@lru_cache(maxsize=None)
+def _exact_switch_tables(from_moduli: tuple, to_moduli: tuple):
+    R = 1
+    for r in from_moduli:
+        R *= r
+    rhat_inv = [pow((R // r) % r, -1, r) for r in from_moduli]
+    rinv, rinv_pre = _const_table([[v] for v in rhat_inv],
+                                  (len(from_moduli), 1),
+                                  [[r] for r in from_moduli])
+    # 1/r_j in base-2^64 fixed point with TWO fractional limbs (128 bits):
+    # a single limb of floor(2^64/r) has only ~4 significant bits for 60-bit
+    # moduli, which would corrupt the overflow count with probability ~2^-4.
+    d1s = [(1 << 64) // r for r in from_moduli]
+    d2s = [((1 << 128) // r) & ((1 << 64) - 1) for r in from_moduli]
+    phi_t = (from_int_array(np.asarray([[d] for d in d1s], dtype=object)),
+             from_int_array(np.asarray([[d] for d in d2s], dtype=object)))
+    K, L = len(to_moduli), len(from_moduli)
+    rh_rows = [[[(R // r) % q] for r in from_moduli] for q in to_moduli]
+    rh_pre = [[[shoup_precon_int((R // r) % q, q)] for r in from_moduli]
+              for q in to_moduli]
+    rh_t = from_int_array(np.asarray(rh_rows, dtype=object).reshape(K, L, 1))
+    rh_p = from_int_array(np.asarray(rh_pre, dtype=object).reshape(K, L, 1))
+    rmodq = [[R % q] for q in to_moduli]
+    rmodq_pre = [[shoup_precon_int(R % q, q)] for q in to_moduli]
+    rq_t = from_int_array(np.asarray(rmodq, dtype=object))
+    rq_p = from_int_array(np.asarray(rmodq_pre, dtype=object))
+    from_mod = make_mod_consts(from_moduli, trailing_dims=1)
+    to_mod = make_mod_consts(to_moduli, trailing_dims=1)
+    return (rinv, rinv_pre), phi_t, (rh_t, rh_p), (rq_t, rq_p), from_mod, to_mod
+
+
+def exact_switch_basis(x: U64, from_moduli: tuple, to_moduli: tuple) -> U64:
+    """EXACT CRT basis switch (with overflow-count correction):
+    out_i = sum_j xhat_j*[Rhat_j]_{q_i} - v*[R]_{q_i}, v = round(sum xhat_j/r_j).
+
+    (Reference: DCRTPolyImpl::SwitchCRTBasis, ``dcrtpoly-impl.h:1178``.)
+    """
+    from_moduli, to_moduli = tuple(from_moduli), tuple(to_moduli)
+    (rinv, rinv_pre), phi_t, (rh_t, rh_p), (rq_t, rq_p), from_mod, to_mod = \
+        _exact_switch_tables(from_moduli, to_moduli)
+    xhat = mul_mod_shoup(x, rinv, rinv_pre, from_mod.q)
+    L = len(from_moduli)
+    d1_t, d2_t = phi_t
+    # v = floor(sum_j xhat_j * (d1_j*2^64 + d2_j) / 2^128): 192-bit accum
+    # as three u64 limbs (a0, a1, a2); v = a2*2^64 + a1... (< |R|, fits a1).
+    zeros = U64(jnp.zeros_like(xhat.lo[0]), jnp.zeros_like(xhat.hi[0]))
+    a0, a1, a2 = zeros, zeros, zeros
+    for j in range(L):
+        xj = U64(xhat.lo[j], xhat.hi[j])
+        d1 = U64(d1_t.lo[j], d1_t.hi[j])
+        d2 = U64(d2_t.lo[j], d2_t.hi[j])
+        p1_lo, p1_hi = mul64_full(xj, d2)   # weight 2^0
+        p0_lo, p0_hi = mul64_full(xj, d1)   # weight 2^64
+        a0, c0 = add64_carry(a0, p1_lo)
+        a1, c1 = add64_carry(a1, add64(p1_hi, U64(c0, jnp.zeros_like(c0))))
+        a1, c2 = add64_carry(a1, p0_lo)
+        a2 = add64(a2, add64(p0_hi, U64(c1 + c2, jnp.zeros_like(c1))))
+    v = add64(a2, zeros)  # floor(A / 2^128); a2 < |R| so low limb suffices
+    v2 = U64(v.lo[None, :], v.hi[None, :])
+    acc = None
+    for j in range(L):
+        xj = U64(xhat.lo[j][None, :], xhat.hi[j][None, :])
+        c = U64(rh_t.lo[:, j], rh_t.hi[:, j])
+        cp = U64(rh_p.lo[:, j], rh_p.hi[:, j])
+        term = mul_mod_shoup(xj, c, cp, to_mod.q)
+        acc = term if acc is None else add_mod(acc, term, to_mod.q)
+    vr = mul_mod_shoup(v2, rq_t, rq_p, to_mod.q)
+    return sub_mod(acc, vr, to_mod.q)

@@ -1,0 +1,85 @@
+"""BFV exact-arithmetic tests: encrypt -> eval -> decrypt over Z_t must be
+EXACT (the reference's BFV unittest contract)."""
+
+import numpy as np
+import pytest
+
+from openfhe_tpu.models import bfv
+from openfhe_tpu.ops.automorph import eval_perm
+
+RNG = np.random.default_rng(4242)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = bfv.BFVParams(ring_dim=128, plaintext_modulus=12289,
+                           num_towers=2, mod_size=55, dnum=2)
+    ctx = bfv.gen_context(params)
+    pk, sk = bfv.keygen(ctx, RNG)
+    evk = bfv.relin_keygen(ctx, sk, RNG)
+    return ctx, pk, sk, evk
+
+
+def rand_slots(ctx, k=None):
+    return [int(v) for v in RNG.integers(0, ctx.t, size=k or ctx.n)]
+
+
+def test_encrypt_decrypt_exact(setup):
+    ctx, pk, sk, _ = setup
+    v = rand_slots(ctx)
+    ct = bfv.encrypt(ctx, pk, v, RNG)
+    assert bfv.decrypt(ctx, sk, ct) == v
+
+
+def test_add_sub_exact(setup):
+    ctx, pk, sk, _ = setup
+    v1, v2 = rand_slots(ctx), rand_slots(ctx)
+    ct1 = bfv.encrypt(ctx, pk, v1, RNG)
+    ct2 = bfv.encrypt(ctx, pk, v2, RNG)
+    assert bfv.decrypt(ctx, sk, bfv.eval_add(ct1, ct2)) == \
+        [(a + b) % ctx.t for a, b in zip(v1, v2)]
+    assert bfv.decrypt(ctx, sk, bfv.eval_sub(ct1, ct2)) == \
+        [(a - b) % ctx.t for a, b in zip(v1, v2)]
+
+
+def test_mult_exact(setup):
+    ctx, pk, sk, evk = setup
+    v1, v2 = rand_slots(ctx), rand_slots(ctx)
+    ct1 = bfv.encrypt(ctx, pk, v1, RNG)
+    ct2 = bfv.encrypt(ctx, pk, v2, RNG)
+    ct = bfv.eval_mult(ctx, ct1, ct2)
+    assert len(ct.polys) == 3
+    assert bfv.decrypt(ctx, sk, ct) == \
+        [a * b % ctx.t for a, b in zip(v1, v2)]
+
+
+def test_mult_relin_exact(setup):
+    ctx, pk, sk, evk = setup
+    v1, v2 = rand_slots(ctx), rand_slots(ctx)
+    ct1 = bfv.encrypt(ctx, pk, v1, RNG)
+    ct2 = bfv.encrypt(ctx, pk, v2, RNG)
+    ct = bfv.eval_mult_relin(ctx, ct1, ct2, evk)
+    assert len(ct.polys) == 2
+    assert bfv.decrypt(ctx, sk, ct) == \
+        [a * b % ctx.t for a, b in zip(v1, v2)]
+
+
+def test_plain_ops_exact(setup):
+    ctx, pk, sk, _ = setup
+    v1, v2 = rand_slots(ctx), rand_slots(ctx)
+    ct = bfv.encrypt(ctx, pk, v1, RNG)
+    assert bfv.decrypt(ctx, sk, bfv.eval_add_plain(ctx, ct, v2)) == \
+        [(a + b) % ctx.t for a, b in zip(v1, v2)]
+    assert bfv.decrypt(ctx, sk, bfv.eval_mult_plain(ctx, ct, v2)) == \
+        [a * b % ctx.t for a, b in zip(v1, v2)]
+
+
+def test_automorphism_exact(setup):
+    ctx, pk, sk, _ = setup
+    v = rand_slots(ctx)
+    ct = bfv.encrypt(ctx, pk, v, RNG)
+    k = 5
+    rk = bfv.rot_keygen(ctx, sk, [k], RNG)[k]
+    out = bfv.decrypt(ctx, sk, bfv.eval_automorphism(ct, k, rk))
+    perm = eval_perm(ctx.n, k)
+    assert out == [v[perm[j]] for j in range(ctx.n)]
