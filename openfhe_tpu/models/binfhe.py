@@ -1,0 +1,503 @@
+"""BINFHE: FHEW/TFHE-style boolean gates with CGGI (GINX) blind rotation.
+
+Covers the reference's binfhe module (``src/binfhe/``): LWE encryption
+(``lwe-pke.cpp``), RGSW accumulator blind rotation
+(``rgsw-acc-cggi.cpp:59-153``), gate bootstrapping with test-vector
+rotation, sample extraction, LWE key switching and modulus switching
+(``binfhe-base-scheme.cpp:71-122``).
+
+TPU-first realization: the n sequential blind-rotation steps run under
+``lax.scan`` with the bootstrapping key as a stacked [n, 2, 2*dg, 2, N]
+tensor; each step is one batched NTT of the signed-digit decomposition, a
+tower-broadcast multiply-accumulate against the key slab, a monomial
+multiply via a precomputed [2N, N] evaluation table (one dynamic gather),
+and one inverse NTT. Everything vectorizes over a batch axis, so many
+gates bootstrap in parallel (amortizing the sequential depth — the TPU
+answer to the reference's single-gate OpenMP parallelism).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import ntt as ntt_ops
+from ..ops.limb import U64
+from ..ops.modular import add_mod, mul_mod, mul_mod_shoup, sub_mod
+from ..utils import nbtheory, sampling
+
+
+@dataclasses.dataclass(frozen=True)
+class BinFHEParams:
+    """Named parameter set (role of the reference's BINFHE_PARAMSET
+    TOY..STD128, ``binfhe-constants-impl.cpp``)."""
+
+    n_lwe: int          # LWE dimension
+    N: int              # ring dimension of the accumulator
+    Q: int              # accumulator modulus (NTT prime, < 2^31)
+    q_ks: int           # LWE key-switch modulus (power of two)
+    log_bg: int         # gadget base log (accumulator decomposition)
+    log_bks: int        # key-switch base log
+    sigma: float = 3.19
+
+    @property
+    def q(self) -> int:
+        return 2 * self.N  # blind-rotation exponent modulus
+
+    @property
+    def dg(self) -> int:
+        return -(-self.Q.bit_length() // self.log_bg)
+
+    @property
+    def d_ks(self) -> int:
+        return -(-self.q_ks.bit_length() // self.log_bks)
+
+
+def toy_params() -> BinFHEParams:
+    Q = nbtheory.first_prime(27, 2 * 256)
+    return BinFHEParams(n_lwe=32, N=256, Q=Q, q_ks=1 << 14,
+                        log_bg=10, log_bks=5, sigma=3.19)
+
+
+def std128_params() -> BinFHEParams:
+    Q = nbtheory.first_prime(27, 2 * 1024)
+    return BinFHEParams(n_lwe=512, N=1024, Q=Q, q_ks=1 << 14,
+                        log_bg=7, log_bks=5, sigma=3.19)
+
+
+PARAM_SETS = {"TOY": toy_params, "STD128": std128_params}
+
+
+class LWECiphertext(NamedTuple):
+    """(a, b) over modulus q: phase = b - <a, s> encodes m * q/4."""
+    a: np.ndarray  # int64 [n]
+    b: int
+    modulus: int
+
+
+@dataclasses.dataclass
+class BinFHESecret:
+    s_lwe: np.ndarray    # ternary [n_lwe]
+    z_ring: np.ndarray   # ternary [N] (accumulator ring secret)
+
+
+@dataclasses.dataclass
+class BootstrapKey:
+    """CGGI key: ek[i, sign] = RGSW(bit) under the ring secret, stacked, plus
+    the LWE key-switch key from ring-coefficients to the LWE secret."""
+
+    ek_lo: jax.Array      # [n, 2, 2*dg, 2, N] uint32
+    ek_hi: jax.Array
+    ks_a: jax.Array       # [N, d_ks, B_ks, n] int32  (mod q_ks)
+    ks_b: jax.Array       # [N, d_ks, B_ks] int32
+
+
+# ---------------------------------------------------------------------------
+# Context
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class BinFHEContext:
+    params: BinFHEParams
+
+    @property
+    def plan(self):
+        return ntt_ops.make_plan(self.params.N, (self.params.Q,))
+
+
+def gen_context(name_or_params="STD128") -> BinFHEContext:
+    p = PARAM_SETS[name_or_params]() if isinstance(name_or_params, str) \
+        else name_or_params
+    return BinFHEContext(p)
+
+
+def keygen(ctx: BinFHEContext, rng: np.random.Generator) -> BinFHESecret:
+    p = ctx.params
+    return BinFHESecret(sampling.ternary_coeffs(p.n_lwe, rng),
+                        sampling.ternary_coeffs(p.N, rng))
+
+
+def encrypt(ctx: BinFHEContext, sk: BinFHESecret, bit: int,
+            rng: np.random.Generator) -> LWECiphertext:
+    """LWE encrypt bit at q/4 (reference: LWEEncryptionScheme::Encrypt)."""
+    p = ctx.params
+    q = p.q
+    a = rng.integers(0, q, size=p.n_lwe, dtype=np.int64)
+    e = int(np.rint(rng.normal(0, p.sigma)))
+    b = (int(a @ sk.s_lwe) + e + bit * (q // 4)) % q
+    return LWECiphertext(a, b, q)
+
+
+def decrypt(ctx: BinFHEContext, sk: BinFHESecret,
+            ct: LWECiphertext) -> int:
+    q = ct.modulus
+    phase = (ct.b - int(ct.a @ sk.s_lwe)) % q
+    return int(((4 * phase + q // 2) // q) % 4) & 1
+
+
+# ---------------------------------------------------------------------------
+# Bootstrapping key generation
+# ---------------------------------------------------------------------------
+
+
+def _rlwe_encrypt_batch(ctx, z_eval: U64, msgs_eval: U64, shape,
+                        rng) -> Tuple[U64, U64]:
+    """Batch RLWE encryptions under ring secret z: returns (c0, c1) with
+    phase c0 + c1*z = msg + e. All arrays [*shape, N] over single modulus."""
+    p = ctx.params
+    plan = ctx.plan
+    N, Q = p.N, p.Q
+    total = int(np.prod(shape))
+    a_rows = np.asarray(
+        [[int(v) for v in rng.integers(0, Q, size=N, dtype=np.uint64)]
+         for _ in range(total)], dtype=object).reshape(*shape, N)
+    from ..ops.limb import from_int_array
+    a = from_int_array(a_rows)
+    e_rows = np.asarray(
+        [[int(v) % Q for v in np.rint(rng.normal(0, p.sigma, size=N)).astype(np.int64)]
+         for _ in range(total)], dtype=object).reshape(*shape, N)
+    e_coeff = from_int_array(e_rows)
+    return _rlwe_batch_jit(ctx, shape)(a, e_coeff, z_eval, msgs_eval)
+
+
+@lru_cache(maxsize=None)
+def _rlwe_batch_jit(ctx: BinFHEContext, shape):
+    plan = ctx.plan
+    mod = _scalar_mod(ctx)
+
+    @jax.jit
+    def fn(a, e_coeff, z_eval, msgs_eval):
+        e = _ntt_nd(plan, e_coeff)
+        az = mul_mod(a, z_eval, mod)
+        c0 = add_mod(sub_mod(e, az, mod.q), msgs_eval, mod.q)
+        return c0, a
+
+    return fn
+
+
+@lru_cache(maxsize=None)
+def _scalar_mod(ctx: BinFHEContext):
+    from ..ops.modular import make_mod_consts
+    return make_mod_consts((ctx.params.Q,), trailing_dims=0)
+
+
+def _ntt_nd(plan, x: U64) -> U64:
+    """NTT over the last axis for arbitrary leading batch shape."""
+    shape = x.lo.shape
+    flat = U64(x.lo.reshape(-1, shape[-1]), x.hi.reshape(-1, shape[-1]))
+    # plan tables are [1, N]; broadcasting handles [B, N]
+    out = ntt_ops.forward(plan, flat)
+    return U64(out.lo.reshape(shape), out.hi.reshape(shape))
+
+
+def _intt_nd(plan, x: U64) -> U64:
+    shape = x.lo.shape
+    flat = U64(x.lo.reshape(-1, shape[-1]), x.hi.reshape(-1, shape[-1]))
+    out = ntt_ops.inverse(plan, flat)
+    return U64(out.lo.reshape(shape), out.hi.reshape(shape))
+
+
+def bootstrap_keygen(ctx: BinFHEContext, sk: BinFHESecret,
+                     rng: np.random.Generator) -> BootstrapKey:
+    """(role of BinFHEContext::BTKeyGen + RingGSWAccumulatorCGGI::KeyGenAcc,
+    ``rgsw-acc-cggi.cpp:40-57``)."""
+    p = ctx.params
+    N, Q, n, dg = p.N, p.Q, p.n_lwe, p.dg
+    plan = ctx.plan
+    from ..ops.limb import from_int_array
+
+    z_rows = sampling.signed_to_rns_rows(sk.z_ring, (Q,))
+    z_eval = ntt_ops.forward_jit(plan, from_int_array(
+        np.asarray(z_rows, dtype=object)))  # [1, N]
+    z_flat = U64(z_eval.lo[0], z_eval.hi[0])
+
+    # messages for RGSW rows: bit * B^d and bit * B^d * z  (eval domain)
+    # ek[i][sign] encrypts bit = (s_i == +1) for sign 0, (s_i == -1) for 1.
+    bits = np.stack([(sk.s_lwe == 1).astype(np.int64),
+                     (sk.s_lwe == -1).astype(np.int64)], axis=1)  # [n, 2]
+    powers = [(1 << (p.log_bg * d)) % Q for d in range(dg)]
+    # msg tensor [n, 2, 2*dg, N] in EVAL: rows d<dg: bit*B^d (constant poly
+    # -> eval = constant);  rows dg..: bit*B^d*z
+    msgs_lo = np.zeros((n, 2, 2 * dg, N), np.uint32)
+    msgs_hi = np.zeros((n, 2, 2 * dg, N), np.uint32)
+    z_lo = np.asarray(z_flat.lo)
+    z_hi = np.asarray(z_flat.hi)
+    for d, Bd in enumerate(powers):
+        for sign in range(2):
+            sel = bits[:, sign].astype(bool)
+            # constant poly Bd in eval domain is the constant vector Bd
+            msgs_lo[sel, sign, d, :] = np.uint32(Bd & 0xFFFFFFFF)
+            msgs_hi[sel, sign, d, :] = np.uint32(Bd >> 32)
+    msgs = U64(jnp.asarray(msgs_lo), jnp.asarray(msgs_hi))
+    # second half rows: multiply z in (shoup by constant would need tables;
+    # use general mul against broadcast z)
+    zb = U64(jnp.broadcast_to(z_flat.lo, (n, 2, dg, N)),
+             jnp.broadcast_to(z_flat.hi, (n, 2, dg, N)))
+    first = U64(msgs.lo[:, :, :dg], msgs.hi[:, :, :dg])
+    second = mul_mod(first, zb, _scalar_mod(ctx))
+    msgs_all = U64(jnp.concatenate([first.lo, second.lo], axis=2),
+                   jnp.concatenate([first.hi, second.hi], axis=2))
+
+    c0, c1 = _rlwe_encrypt_batch(ctx, z_eval, msgs_all, (n, 2, 2 * dg), rng)
+    ek_lo = jnp.stack([c0.lo, c1.lo], axis=3)  # [n, 2, 2dg, 2, N]
+    ek_hi = jnp.stack([c0.hi, c1.hi], axis=3)
+
+    # LWE key-switch key: for each ring coeff j, digit d, value v:
+    # encryption of v * B_ks^d * z_j under s_lwe at modulus q_ks.
+    q_ks, d_ks, B_ks = p.q_ks, p.d_ks, 1 << p.log_bks
+    a_ks = rng.integers(0, q_ks, size=(N, d_ks, B_ks, n), dtype=np.int64)
+    e_ks = np.rint(rng.normal(0, p.sigma, size=(N, d_ks, B_ks))).astype(np.int64)
+    vals = np.arange(B_ks, dtype=np.int64)[None, None, :]
+    targets = (vals * (1 << (p.log_bks * np.arange(d_ks)))[None, :, None]
+               * sk.z_ring[:, None, None]) % q_ks
+    b_ks = (np.einsum("jdvn,n->jdv", a_ks, sk.s_lwe) + e_ks + targets) % q_ks
+    return BootstrapKey(ek_lo, ek_hi,
+                        jnp.asarray(a_ks.astype(np.int32)),
+                        jnp.asarray(b_ks.astype(np.int32)))
+
+
+# ---------------------------------------------------------------------------
+# Blind rotation (the operation the fork's DPU NTT stub never delivered)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _monomial_table(ctx: BinFHEContext) -> U64:
+    """[2N, N] eval-domain values of (X^c - 1) for every exponent c."""
+    p = ctx.params
+    N, Q = p.N, p.Q
+    psi = nbtheory.root_of_unity(2 * N, Q)
+    rev = ntt_ops.bit_reverse_perm(N)
+    # slot j holds evaluation at psi^(2*rev(j)+1)
+    exps = (2 * rev + 1) % (2 * N)
+    table = np.zeros((2 * N, N), dtype=object)
+    pw = [1] * (2 * N)
+    for i in range(1, 2 * N):
+        pw[i] = pw[i - 1] * psi % Q
+    for c in range(2 * N):
+        for j in range(N):
+            table[c, j] = (pw[(c * int(exps[j])) % (2 * N)] - 1) % Q
+    from ..ops.limb import from_int_array
+    return from_int_array(table)
+
+
+@lru_cache(maxsize=None)
+def _blind_rotate_fn(ctx: BinFHEContext):
+    """Jitted scan over the n_lwe CGGI accumulator updates."""
+    p = ctx.params
+    N, Q, dg, logB = p.N, p.Q, p.dg, p.log_bg
+    plan = ctx.plan
+    mod = _scalar_mod(ctx)
+    _mono = _monomial_table(ctx)
+    mono = U64(jnp.asarray(_mono.lo), jnp.asarray(_mono.hi))
+    half_Q = Q // 2
+    B = 1 << logB
+    halfB = B // 2
+
+    def signed_decompose(acc_coeff: U64):
+        """[B, 2, N] coeff -> [B, 2*dg, N] signed digits as residues mod Q."""
+        v = acc_coeff.lo
+        # centered lift in int32 (Q < 2^31)
+        signed = jnp.where(v > jnp.uint32(half_Q),
+                           v.astype(jnp.int32) - jnp.int32(Q),
+                           v.astype(jnp.int32))
+        digits = []
+        for _ in range(dg):
+            r = ((signed + halfB) & (B - 1)) - halfB
+            signed = (signed - r) >> logB
+            digits.append(r)
+        d = jnp.stack(digits, axis=2)  # [B, 2, dg, N]
+        d = d.reshape(d.shape[0], 2 * dg, N)
+        lo = jnp.where(d < 0, (d + Q).astype(jnp.uint32), d.astype(jnp.uint32))
+        return U64(lo, jnp.zeros_like(lo))
+
+    def step(acc_coeff: U64, inputs):
+        a_i, ek_lo_i, ek_hi_i = inputs  # [B], [2, 2dg, 2, N] x2
+        for sign in range(2):
+            digits = signed_decompose(acc_coeff)      # [B, 2dg, N]
+            dct = _ntt_nd(plan, digits)               # [B, 2dg, N] eval
+            key = U64(ek_lo_i[sign], ek_hi_i[sign])   # [2dg, 2, N]
+            dx = U64(dct.lo[:, :, None, :], dct.hi[:, :, None, :])
+            prod = mul_mod(dx, key, mod)              # [B, 2dg, 2, N]
+            # sum over digit rows -> [B, 2, N]
+            acc_ext = None
+            for r in range(2 * dg):
+                term = U64(prod.lo[:, r], prod.hi[:, r])
+                acc_ext = term if acc_ext is None else \
+                    add_mod(acc_ext, term, mod.q)
+            # The rotation target is X^{b - sum a_i s_i}: the s_i = +1 key
+            # (sign 0) rotates by X^{-a_i}, the s_i = -1 key by X^{+a_i}.
+            c = jnp.where(jnp.int32(sign) == 0, (2 * N - a_i) % (2 * N), a_i)
+            row = U64(mono.lo[c], mono.hi[c])         # [B, N]
+            rotated = mul_mod(acc_ext, U64(row.lo[:, None, :],
+                                           row.hi[:, None, :]), mod)
+            delta = _intt_nd(plan, rotated)           # [B, 2, N] coeff
+            acc_coeff = add_mod(acc_coeff, delta, mod.q)
+        return acc_coeff, None
+
+    @jax.jit
+    def rotate(acc_init: U64, a_vec, ek_lo, ek_hi):
+        # acc_init [B, 2, N]; a_vec [n, B]
+        final, _ = jax.lax.scan(step, acc_init, (a_vec, ek_lo, ek_hi))
+        return final
+
+    return rotate
+
+
+@lru_cache(maxsize=None)
+def _test_vector(ctx: BinFHEContext) -> np.ndarray:
+    """Gate test polynomial tv = (-Q/8) * sum_j X^j.
+
+    With w~ = phase mod 2N, const(tv * X^{w~}) = +Q/8 for w~ in (0, N]
+    (the TRUE half) and -Q/8 otherwise; adding Q/8 maps to {Q/4, 0}.
+    """
+    p = ctx.params
+    beta = p.Q // 8
+    return np.full(p.N, p.Q - beta, dtype=object)
+
+
+def _bootstrap_core(ctx: BinFHEContext, bk: BootstrapKey,
+                    a_2n: np.ndarray, b_2n: np.ndarray):
+    """Blind-rotate the test vector by the phase of each (a, b) mod 2N.
+    a_2n: [B, n_lwe], b_2n: [B]. Returns accumulator U64 [B, 2, N] (coeff).
+    """
+    p = ctx.params
+    N, Q = p.N, p.Q
+    from ..ops.limb import from_int_array
+
+    tv = _test_vector(ctx)
+    batch = len(b_2n)
+    c0 = np.zeros((batch, N), dtype=object)
+    for bi in range(batch):
+        shift = int(b_2n[bi]) % (2 * N)
+        for j in range(N):
+            e = (j + shift) % (2 * N)
+            if e < N:
+                c0[bi, e] = (c0[bi, e] + tv[j]) % Q
+            else:
+                c0[bi, e - N] = (c0[bi, e - N] - tv[j]) % Q
+    rows = np.zeros((batch, 2, N), dtype=object)
+    rows[:, 0, :] = c0
+    rows[:, 1, :] = 0
+    acc = from_int_array(rows)
+    rotate = _blind_rotate_fn(ctx)
+    a_dev = jnp.asarray((np.asarray(a_2n).T % (2 * N)).astype(np.int32))
+    return rotate(acc, a_dev, bk.ek_lo, bk.ek_hi)
+
+
+def _extract_and_keyswitch(ctx: BinFHEContext, bk: BootstrapKey,
+                           acc_coeff: U64) -> list:
+    """Batched: sample-extract LWE(Q, N) from each accumulator, key-switch
+    to the LWE secret at q_ks, mod-switch to q (reference:
+    binfhe-base-scheme.cpp:118-122 -> lwe-pke.cpp:200)."""
+    p = ctx.params
+    N, Q, q_ks, q = p.N, p.Q, p.q_ks, p.q
+    lo = np.asarray(acc_coeff.lo).astype(np.int64)
+    hi = np.asarray(acc_coeff.hi).astype(np.int64)
+    vals = (hi << 32) | lo  # Q < 2^31: exact in int64
+    c0 = vals[:, 0, :]  # [B, N]
+    c1 = vals[:, 1, :]
+    batch = c0.shape[0]
+    # extraction: phase = c0[0] + sum_j a_j z_j with
+    # a = (c1[0], -c1[N-1], ..., -c1[1])
+    b_N = (c0[:, 0] + Q // 8) % Q  # + Q/8 maps the halves to {0, Q/4}
+    a_N = np.concatenate(
+        [c1[:, :1], (-c1[:, :0:-1]) % Q], axis=1)  # [B, N]
+    # mod switch Q -> q_ks (round-half-up)
+    b1 = (b_N * q_ks * 2 + Q) // (2 * Q) % q_ks
+    a1 = ((a_N * q_ks * 2 + Q) // (2 * Q)) % q_ks
+    # key switch: digit-decompose and gather key rows
+    B_ks = 1 << p.log_bks
+    digits = []
+    rem = a1.copy()
+    for d in range(p.d_ks):
+        digits.append(rem % B_ks)
+        rem //= B_ks
+    digits = np.stack(digits, axis=2)  # [B, N, d_ks]
+    ks_a = np.asarray(bk.ks_a).astype(np.int64)  # [N, d_ks, B_ks, n]
+    ks_b = np.asarray(bk.ks_b).astype(np.int64)
+    j_idx = np.arange(N)[None, :, None]
+    d_idx = np.arange(p.d_ks)[None, None, :]
+    sel_a = ks_a[j_idx, d_idx, digits]  # [B, N, d_ks, n]
+    sel_b = ks_b[j_idx, d_idx, digits]  # [B, N, d_ks]
+    # phase_in = b1 + sum_j a1_j z_j ≈ b1 + sum(sel_b) - <sum(sel_a), s>,
+    # so in (a, b) convention: a_out = sum(sel_a), b_out = b1 + sum(sel_b)
+    a_out = sel_a.sum(axis=(1, 2)) % q_ks       # [B, n]
+    b_out = (b1 + sel_b.sum(axis=(1, 2))) % q_ks
+    # mod switch q_ks -> q
+    b2 = (b_out * q * 2 + q_ks) // (2 * q_ks) % q
+    a2 = ((a_out * q * 2 + q_ks) // (2 * q_ks)) % q
+    return [LWECiphertext(a2[i], int(b2[i]), q) for i in range(batch)]
+
+
+def bootstrap_raw_batch(ctx: BinFHEContext, bk: BootstrapKey, a_q, b_q
+                        ) -> list:
+    """Batched PBS of LWE samples at modulus q = 2N: a_q [B, n], b_q [B]."""
+    acc = _bootstrap_core(ctx, bk, a_q, b_q)
+    return _extract_and_keyswitch(ctx, bk, acc)
+
+
+def bootstrap_raw(ctx: BinFHEContext, bk: BootstrapKey, a_q, b_q
+                  ) -> LWECiphertext:
+    return bootstrap_raw_batch(ctx, bk, np.asarray(a_q)[None, :],
+                               np.asarray([b_q]))[0]
+
+
+GATES = {
+    "AND": (1, 1, -3, 8),   # w = ct1 + ct2 - 3q/8
+    "OR": (1, 1, -1, 8),
+    "NAND": (-1, -1, 3, 8),
+    "NOR": (-1, -1, 1, 8),
+}
+
+
+def _gate_input(ctx, gate, ct1, ct2):
+    q = ctx.params.q
+    if gate in ("XOR", "XNOR"):
+        a = (2 * (ct1.a - ct2.a)) % q
+        b = (2 * (ct1.b - ct2.b) - 3 * q // 8) % q
+        return a, b, gate == "XNOR"
+    s1, s2, cnum, cden = GATES[gate]
+    a = (s1 * ct1.a + s2 * ct2.a) % q
+    b = (s1 * ct1.b + s2 * ct2.b + cnum * q // cden) % q
+    return a, b, False
+
+
+def eval_gate(ctx: BinFHEContext, gate: str, bk: BootstrapKey,
+              ct1: LWECiphertext, ct2: LWECiphertext) -> LWECiphertext:
+    """(role of BinFHEContext::EvalBinGate, ``binfhecontext.cpp:301``)."""
+    return eval_gate_batch(ctx, gate, bk, [ct1], [ct2])[0]
+
+
+def eval_gate_batch(ctx: BinFHEContext, gate: str, bk: BootstrapKey,
+                    cts1: list, cts2: list) -> list:
+    """Evaluate the same gate over a batch of input pairs with ONE blind
+    rotation scan — the TPU-native way to amortize the sequential PBS."""
+    inputs = [_gate_input(ctx, gate, c1, c2)
+              for c1, c2 in zip(cts1, cts2)]
+    a = np.stack([i[0] for i in inputs])
+    b = np.asarray([i[1] for i in inputs])
+    outs = bootstrap_raw_batch(ctx, bk, a, b)
+    return [eval_not(ctx, o) if i[2] else o for o, i in zip(outs, inputs)]
+
+
+def eval_not(ctx: BinFHEContext, ct: LWECiphertext) -> LWECiphertext:
+    """NOT without bootstrapping (reference: EvalNOT)."""
+    q = ct.modulus
+    return LWECiphertext((-ct.a) % q, (q // 4 - ct.b) % q, q)
+
+
+def bootstrap(ctx: BinFHEContext, bk: BootstrapKey,
+              ct: LWECiphertext) -> LWECiphertext:
+    """Refresh a (possibly noisy) ciphertext (reference: Bootstrap)."""
+    q = ctx.params.q
+    # w = 2*ct - q/8 maps {0, q/4} -> {-q/8, 3q/8}: output bit preserved
+    a = (2 * ct.a) % q
+    b = (2 * ct.b - q // 8) % q
+    return bootstrap_raw(ctx, bk, a, b)

@@ -1,0 +1,63 @@
+"""BINFHE gate truth tables (the reference's UnitTestFHEW contract) on the
+TOY parameter set."""
+
+import numpy as np
+import pytest
+
+from openfhe_tpu.models import binfhe
+
+RNG = np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ctx = binfhe.gen_context("TOY")
+    sk = binfhe.keygen(ctx, RNG)
+    bk = binfhe.bootstrap_keygen(ctx, sk, RNG)
+    return ctx, sk, bk
+
+
+def test_lwe_encrypt_decrypt(setup):
+    ctx, sk, _ = setup
+    for bit in (0, 1):
+        for _ in range(4):
+            ct = binfhe.encrypt(ctx, sk, bit, RNG)
+            assert binfhe.decrypt(ctx, sk, ct) == bit
+
+
+def test_not_gate(setup):
+    ctx, sk, _ = setup
+    for bit in (0, 1):
+        ct = binfhe.encrypt(ctx, sk, bit, RNG)
+        assert binfhe.decrypt(ctx, sk, binfhe.eval_not(ctx, ct)) == 1 - bit
+
+
+@pytest.mark.parametrize("gate,table", [
+    ("AND", [0, 0, 0, 1]),
+    ("NAND", [1, 1, 1, 0]),
+    ("OR", [0, 1, 1, 1]),
+    ("NOR", [1, 0, 0, 0]),
+    ("XOR", [0, 1, 1, 0]),
+    ("XNOR", [1, 0, 0, 1]),
+])
+def test_gate_truth_table(setup, gate, table):
+    """Whole truth table bootstrapped as ONE batch (4 gates, one scan)."""
+    ctx, sk, bk = setup
+    combos = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    cts1 = [binfhe.encrypt(ctx, sk, m1, RNG) for m1, _ in combos]
+    cts2 = [binfhe.encrypt(ctx, sk, m2, RNG) for _, m2 in combos]
+    outs = binfhe.eval_gate_batch(ctx, gate, bk, cts1, cts2)
+    got = [binfhe.decrypt(ctx, sk, o) for o in outs]
+    assert got == table, f"{gate}: {got}"
+
+
+def test_bootstrap_refresh_and_chain(setup):
+    """Refresh keeps the bit; (a NAND b) NAND (a NAND b) == a AND b."""
+    ctx, sk, bk = setup
+    ct0 = binfhe.encrypt(ctx, sk, 0, RNG)
+    ct1 = binfhe.encrypt(ctx, sk, 1, RNG)
+    assert binfhe.decrypt(ctx, sk, binfhe.bootstrap(ctx, bk, ct0)) == 0
+    assert binfhe.decrypt(ctx, sk, binfhe.bootstrap(ctx, bk, ct1)) == 1
+    nands = binfhe.eval_gate_batch(ctx, "NAND", bk, [ct0, ct1], [ct1, ct1])
+    outs = binfhe.eval_gate_batch(ctx, "NAND", bk, nands, nands)
+    assert [binfhe.decrypt(ctx, sk, o) for o in outs] == [0, 1]
