@@ -40,6 +40,7 @@ class CKKSParams:
     first_mod_size: int = 60
     dnum: int = 3           # hybrid keyswitch digit count
     sigma: float = 3.19
+    secret_hw: int = 0      # 0 = dense uniform ternary; else sparse weight
 
     @property
     def num_towers(self) -> int:
@@ -171,7 +172,10 @@ def keygen(ctx: CKKSContext, rng: np.random.Generator
            ) -> Tuple[PublicKey, SecretKey]:
     """(role of KeyGenInternal, ``pke/lib/schemebase/base-pke.cpp:43``)."""
     n = ctx.n
-    sk = SecretKey(sampling.ternary_coeffs(n, rng))
+    hw = ctx.params.secret_hw
+    coeffs = sampling.sparse_ternary_coeffs(n, hw, rng) if hw else \
+        sampling.ternary_coeffs(n, rng)
+    sk = SecretKey(coeffs)
     basis = ctx.basis()
     s = sk.poly(basis)
     a = dcrt.from_int_rows(

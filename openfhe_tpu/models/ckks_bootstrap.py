@@ -1,0 +1,226 @@
+"""CKKS bootstrapping (sparse packing, real messages).
+
+Role of the reference's CKKSrns FHE capability
+(``pke/lib/scheme/ckksrns/ckksrns-fhe.cpp``: EvalBootstrapSetup :62,
+EvalBootstrapKeyGen :212, EvalBootstrap :238): raise an exhausted
+ciphertext back to a high level by homomorphically evaluating the modular
+reduction.
+
+Pipeline (CCS18 structure):
+  1. ModRaise: centered lift of the 1-tower ciphertext into the full chain;
+     the phase becomes x = sigma*m + q0*I with |I| <~ K. The scale is
+     reinterpreted as q0 so slot readings are y = x/q0.
+  2. CoeffsToSlots: one slot-space linear transform (s rotations, diagonals
+     derived NUMERICALLY from the embedding — no hand-derived DFT
+     factorization to get wrong), then a conjugation splits the packed
+     coefficients into two real-slot ciphertexts.
+  3. EvalSine: Chebyshev approximation of cos(2*pi*u) on the shrunken
+     range (u = (y - 1/4)/2^r) followed by r double-angle squarings gives
+     sin(2*pi*y) — i.e. (2*pi/q0)*(sigma*m) up to O((m/q0)^3).
+  4. SlotsToCoeffs: inverse transform (with conjugate branch), folding in
+     q0/(2*pi*sigma), restores m in the coefficients at a canonical scale.
+
+Matrices are s x s with s = #sparse slots (s <= n/4); all diagonal
+constants are encoded at FLEXIBLEAUTO canonical scales.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+from typing import Dict
+
+import numpy as np
+
+from .. import dcrt, encoding, keyswitch
+from ..dcrt import Format
+from ..ops import ntt as ntt_ops
+from ..ops.limb import U64
+from ..ops.modular import make_mod_consts, switch_modulus
+from . import ckks
+from . import ckks_advanced as adv
+from .ckks import Ciphertext, CKKSContext
+
+
+@dataclasses.dataclass
+class BootstrapPrecomp:
+    slots: int
+    K: int            # bound on |I| in x = m + q0*I
+    r: int            # double-angle iterations
+    cheb_coeffs: np.ndarray
+    A_half: np.ndarray    # CtS matrix (already divided by 2) [s, s]
+    D: np.ndarray         # StC matrices: z = D u + E conj(u)
+    E: np.ndarray
+
+
+@dataclasses.dataclass
+class BootstrapKeys:
+    evk: keyswitch.KSKey
+    conj: keyswitch.KSKey
+    rot: Dict[int, keyswitch.KSKey]
+
+
+def setup(ctx: CKKSContext, slots: int, K: int = 16, r: int = 5,
+          cheb_deg: int = 28) -> BootstrapPrecomp:
+    """(role of EvalBootstrapSetup: builds linear-transform constants and
+    the sine approximation.)"""
+    n = ctx.n
+    s = slots
+    assert s <= n // 4 and n % (2 * s) == 0
+    gap = n // (2 * s)
+    reps = n // (2 * s)
+
+    # --- CtS matrix: slot values z (real) -> packed subring coeffs
+    # u_j = c_{j*gap} + i*c_{(j+s)*gap}, built numerically column by column.
+    A = np.zeros((s, s), dtype=np.complex128)
+    for k in range(s):
+        z = np.zeros(s)
+        z[k] = 1.0
+        coeffs = encoding.ckks_embed_inv(np.tile(z, reps), n)
+        c_sub = coeffs[::gap]
+        assert np.max(np.abs(np.delete(coeffs,
+                                       np.arange(0, n, gap)))) < 1e-9, \
+            "replicated slots must give subring coefficients"
+        A[:, k] = c_sub[:s] + 1j * c_sub[s:]
+    # --- StC matrices: packed coeffs u -> slot values z
+    Mc1 = np.zeros((s, s), dtype=np.complex128)
+    Mc2 = np.zeros((s, s), dtype=np.complex128)
+    for j in range(s):
+        c = np.zeros(n)
+        c[j * gap] = 1.0
+        Mc1[:, j] = encoding.ckks_embed(c, n)[:s]
+        c = np.zeros(n)
+        c[(j + s) * gap] = 1.0
+        Mc2[:, j] = encoding.ckks_embed(c, n)[:s]
+    D = (Mc1 - 1j * Mc2) / 2.0
+    E = (Mc1 + 1j * Mc2) / 2.0
+
+    a_dom = (K + 1) / float(1 << r)
+    cheb = adv.chebyshev_coefficients(
+        lambda u: np.cos(2.0 * np.pi * u), -a_dom, a_dom, cheb_deg)
+    return BootstrapPrecomp(s, K, r, cheb, A / 2.0, D, E)
+
+
+def keygen(ctx: CKKSContext, sk, pre: BootstrapPrecomp,
+           rng: np.random.Generator) -> BootstrapKeys:
+    """(role of EvalBootstrapKeyGen: relin + conj + the s-1 rotations.)"""
+    evk = ckks.relin_keygen(ctx, sk, rng)
+    conj = ckks.conj_keygen(ctx, sk, rng)
+    rots = ckks.rot_keygen(ctx, sk, range(1, pre.slots), rng)
+    return BootstrapKeys(evk, conj, rots)
+
+
+def mod_raise(ctx: CKKSContext, ct: Ciphertext) -> Ciphertext:
+    """Centered lift from the 1-tower basis to the full chain; the scale is
+    reinterpreted as q0 (slot readings become x/q0).
+    (role of the ModRaise/AdjustCiphertext step, ckksrns-fhe.cpp:238+)."""
+    assert ct.towers == 1, "level-reduce to one tower before bootstrapping"
+    q0 = ctx.q_moduli[0]
+    full = ctx.basis()
+    fn = _mod_raise_fn(ctx)
+    polys = tuple(dcrt.make_poly(full, fn(p.data), Format.EVAL)
+                  for p in ct.polys)
+    return Ciphertext(polys, float(q0))
+
+
+@lru_cache(maxsize=None)
+def _mod_raise_fn(ctx: CKKSContext):
+    import jax
+
+    q0 = ctx.q_moduli[0]
+    full_moduli = ctx.q_moduli
+    old_mod = make_mod_consts((q0,), trailing_dims=1)
+    new_mod = make_mod_consts(full_moduli, trailing_dims=1)
+    one_plan = ntt_ops.make_plan(ctx.n, (q0,))
+    full_plan = ntt_ops.make_plan(ctx.n, full_moduli)
+
+    @jax.jit
+    def fn(x: U64) -> U64:
+        coeff = ntt_ops.inverse(one_plan, x)          # [1, n]
+        lifted = switch_modulus(coeff, old_mod, new_mod)  # [L, n] centered
+        return ntt_ops.forward(full_plan, lifted)
+
+    return fn
+
+
+def _linear_transform(ctx: CKKSContext, ct: Ciphertext, mat: np.ndarray,
+                      keys: BootstrapKeys) -> Ciphertext:
+    """sum_j diag_j(mat) ⊙ rot_j(ct) with diagonals encoded at canonical
+    scale (role of EvalLinearTransform / EvalCoeffsToSlots inner loop)."""
+    s = mat.shape[0]
+    n_half = ctx.params.num_slots
+    reps = n_half // s
+    acc = None
+    for j in range(s):
+        rot = ct if j == 0 else ckks.eval_rotate(ct, j, keys.rot[j])
+        diag = np.array([mat[i, (i + j) % s] for i in range(s)])
+        pt = ckks.encode(ctx, np.tile(diag, reps), towers=rot.towers,
+                         scale=adv.scale_at(ctx, 0))
+        term = Ciphertext(tuple(dcrt.mul(p, pt) for p in rot.polys),
+                          rot.scale * adv.scale_at(ctx, 0))
+        acc = term if acc is None else ckks.eval_add(acc, term)
+    return ckks.rescale(acc)
+
+
+def _mult_i(ctx: CKKSContext, ct: Ciphertext, sign: int = 1) -> Ciphertext:
+    """Exact multiply by the imaginary unit: i <-> X^{n/2} (every slot
+    exponent is 5^j ≡ 1 mod 4, so the monomial reads as +i in all slots).
+    No scale change, no extra noise."""
+    n = ctx.n
+    rows = [0] * n
+    rows[n // 2] = sign  # poly X^{n/2} (or -X^{n/2})
+    basis = ctx.basis(ct.towers)
+    from ..utils import sampling as smp
+    pt = dcrt.to_eval(dcrt.from_int_rows(
+        basis, smp.signed_to_rns_rows(rows, basis.moduli), Format.COEFF))
+    return Ciphertext(tuple(dcrt.mul(p, pt) for p in ct.polys), ct.scale)
+
+
+def eval_bootstrap(ctx: CKKSContext, keys: BootstrapKeys,
+                   pre: BootstrapPrecomp, ct: Ciphertext) -> Ciphertext:
+    """(role of FHECKKSRNS::EvalBootstrap, ckksrns-fhe.cpp:238)."""
+    q0 = ctx.q_moduli[0]
+    sigma_in = ct.scale
+    s = pre.slots
+
+    # 1. ModRaise (slots now read x/q0 — meaningless until CtS)
+    raised = mod_raise(ctx, ct)
+
+    # 2. CoeffsToSlots: v' = LT_{A/2}(raised); split real/imag coefficient
+    # halves via conjugation
+    v = _linear_transform(ctx, raised, pre.A_half, keys)
+    v_conj = ckks.eval_conjugate(v, keys.conj)
+    y_re = ckks.eval_add(v, v_conj)
+    y_im = _mult_i(ctx, ckks.eval_sub(v_conj, v), 1)
+
+    # 3. EvalSine on both branches: y -> sin(2*pi*y), y in +-(K+1)
+    def eval_sine(y: Ciphertext) -> Ciphertext:
+        # shift by -1/4 so double-angle of cos ends at sin: evaluate
+        # f = cos(2*pi*u), u = (y - 1/4)/2^r  via Chebyshev on +-a_dom.
+        # The division by 2^r is a free scale reinterpretation.
+        shift = Ciphertext(y.polys, y.scale * (1 << pre.r))
+        shift = adv.add_const(ctx, shift, -0.25 / (1 << pre.r))
+        a_dom = (pre.K + 1) / float(1 << pre.r)
+        f = adv.eval_chebyshev(ctx, shift, pre.cheb_coeffs, -a_dom, a_dom,
+                               keys.evk)
+        for _ in range(pre.r):
+            sq = adv.square_auto(ctx, f, keys.evk)
+            two = adv.mult_const(ctx, sq, 2.0, 1.0)
+            f = adv.add_const(ctx, two, -1.0)
+        return f
+
+    s_re = eval_sine(y_re)
+    s_im = eval_sine(y_im)
+
+    # 4. recombine u'' = s_re + i*s_im, then StC with q0/(2*pi*sigma) folded
+    k = max(adv.depth_of(ctx, s_re), adv.depth_of(ctx, s_im))
+    s_re = adv.adjust_depth(ctx, s_re, k)
+    s_im = adv.adjust_depth(ctx, s_im, k)
+    u = ckks.eval_add(s_re, _mult_i(ctx, s_im, 1))
+    u_conj = ckks.eval_conjugate(u, keys.conj)
+    factor = q0 / (2.0 * np.pi * sigma_in)
+    out_d = _linear_transform(ctx, u, pre.D * factor, keys)
+    out_e = _linear_transform(ctx, u_conj, pre.E * factor, keys)
+    # slots of out_d + out_e read the original message m directly (the
+    # q0/(2*pi*sigma) recovery factor is folded into the StC diagonals)
+    return ckks.eval_add(out_d, out_e)

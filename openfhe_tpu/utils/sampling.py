@@ -20,6 +20,16 @@ def ternary_coeffs(n: int, rng: np.random.Generator) -> np.ndarray:
     return rng.integers(-1, 2, size=n, dtype=np.int64)
 
 
+def sparse_ternary_coeffs(n: int, hamming_weight: int,
+                          rng: np.random.Generator) -> np.ndarray:
+    """Ternary secret with exactly `hamming_weight` nonzeros (the sparse
+    secret distribution used for efficient CKKS bootstrapping)."""
+    s = np.zeros(n, dtype=np.int64)
+    idx = rng.choice(n, size=hamming_weight, replace=False)
+    s[idx] = rng.choice([-1, 1], size=hamming_weight)
+    return s
+
+
 def gaussian_coeffs(n: int, rng: np.random.Generator,
                     sigma: float = 3.19) -> np.ndarray:
     """Rounded-Gaussian error coefficients (int64), sigma per HE standard."""
