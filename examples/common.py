@@ -1,0 +1,15 @@
+"""Shared setup for the example programs: force local CPU execution when no
+TPU is wanted, enable the persistent compile cache."""
+
+import os
+
+if os.environ.get("EXAMPLES_ON_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+if os.environ.get("EXAMPLES_ON_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+os.makedirs("/tmp/openfhe_tpu_xla_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/openfhe_tpu_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
