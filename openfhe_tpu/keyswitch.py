@@ -245,3 +245,125 @@ def apply(key: KSKey, c: RnsPoly) -> Tuple[RnsPoly, RnsPoly]:
 
 
 apply = jax.jit(apply)
+
+
+# ---------------------------------------------------------------------------
+# BV key switching (digit decomposition per tower, no special primes).
+# Reference: KeySwitchBV (``pke/lib/keyswitch/keyswitch-bv.cpp``) built on
+# DCRTPoly::BaseDecompose / PowersOfBase (``dcrtpoly-impl.h:252,323``).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class BVKSParams:
+    n: int
+    q_moduli: Tuple[int, ...]
+    log_base: int  # relinearization window r (digits in base 2^r)
+
+    def num_digits(self, tower: int) -> int:
+        return -(-self.q_moduli[tower].bit_length() // self.log_base)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BVKSKey:
+    """Per (tower i, digit d): RLWE pair over full Q encrypting
+    B^d * delta_i * s_to, stacked [sum_digits, 2, L, n]."""
+
+    b_lo: jax.Array
+    b_hi: jax.Array
+    a_lo: jax.Array
+    a_hi: jax.Array
+    params: BVKSParams = dataclasses.field(metadata=dict(static=True))
+
+
+def bv_keygen(params: BVKSParams, s_from: RnsPoly, s_to: RnsPoly,
+              rng: np.random.Generator, sigma: float = 3.19,
+              error_scale: int = 1) -> BVKSKey:
+    """s_from/s_to are EVAL over the full Q basis (no extension)."""
+    basis = RnsBasis(params.n, params.q_moduli)
+    assert s_from.basis == basis and s_to.basis == basis
+    mod = basis.mod
+    L = len(params.q_moduli)
+    B = 1 << params.log_base
+    digit_b = _digit_b_fn(basis)
+    fac_rows, pre_rows = [], []
+    for i in range(L):
+        for d in range(params.num_digits(i)):
+            f = [(pow(B, d, q) if j == i else 0)
+                 for j, q in enumerate(params.q_moduli)]
+            fac_rows.append([[v] for v in f])
+            pre_rows.append([[shoup_precon_int(v, q)]
+                             for v, q in zip(f, params.q_moduli)])
+    total = len(fac_rows)
+    fac = from_int_array(np.asarray(fac_rows, dtype=object))
+    pre = from_int_array(np.asarray(pre_rows, dtype=object))
+    b_list, a_list = [], []
+    for k in range(total):
+        a_rows = sampling.uniform_rns_rows(params.n, basis.moduli, rng)
+        a = rns_poly_from_rows(basis, a_rows, Format.EVAL)
+        e_rows = sampling.signed_to_rns_rows(
+            sampling.gaussian_coeffs(params.n, rng, sigma) * error_scale,
+            basis.moduli)
+        e_coeff = from_int_array(np.asarray(e_rows, dtype=object))
+        fj = U64(fac.lo[k], fac.hi[k])
+        fj_pre = U64(pre.lo[k], pre.hi[k])
+        b = digit_b(a.data, e_coeff, s_from.data, s_to.data, fj, fj_pre)
+        b_list.append(b)
+        a_list.append(a.data)
+    return BVKSKey(jnp.stack([b.lo for b in b_list]),
+                   jnp.stack([b.hi for b in b_list]),
+                   jnp.stack([a.lo for a in a_list]),
+                   jnp.stack([a.hi for a in a_list]), params)
+
+
+def bv_apply(key: BVKSKey, c: RnsPoly) -> Tuple[RnsPoly, RnsPoly]:
+    """Per-tower base-2^r digit decomposition inner product with the key.
+
+    (Reference: KeySwitchBV::KeySwitchCore; BaseDecompose semantics —
+    digits are the plain base-B limbs of each tower residue, broadcast to
+    every tower since digit < B < q_j.)
+    """
+    params = key.params
+    assert c.fmt == Format.EVAL
+    lvl = c.basis.L
+    assert c.basis.moduli == params.q_moduli[:lvl]
+    mod = c.basis.mod
+    plan = c.basis.plan
+    B_mask = (1 << params.log_base) - 1
+    c_coeff = ntt_ops.inverse(plan, c.data)  # [lvl, n]
+
+    acc0 = acc1 = None
+    row = 0
+    for i in range(len(params.q_moduli)):
+        nd = params.num_digits(i)
+        if i >= lvl:
+            row += nd
+            continue
+        xi = U64(c_coeff.lo[i], c_coeff.hi[i])  # [n]
+        for d in range(nd):
+            from .ops.limb import shr64
+            assert params.log_base <= 32
+            shifted = shr64(xi, d * params.log_base)
+            dig = U64(shifted.lo & jnp.uint32(B_mask),
+                      jnp.zeros_like(shifted.hi))
+            # broadcast digit (value < B < every q_j) across towers
+            dig_rows = U64(jnp.broadcast_to(dig.lo[None, :], (lvl, dig.lo.shape[0])),
+                           jnp.broadcast_to(dig.hi[None, :], (lvl, dig.hi.shape[0])))
+            dig_eval = ntt_ops.forward(plan, dig_rows)
+            kb = U64(key.b_lo[row][:lvl], key.b_hi[row][:lvl])
+            ka = U64(key.a_lo[row][:lvl], key.a_hi[row][:lvl])
+            t0 = mul_mod(dig_eval, kb, mod)
+            t1 = mul_mod(dig_eval, ka, mod)
+            if acc0 is None:
+                acc0, acc1 = t0, t1
+            else:
+                acc0 = add_mod(acc0, t0, mod.q)
+                acc1 = add_mod(acc1, t1, mod.q)
+            row += 1
+    d0 = make_poly(c.basis, acc0, Format.EVAL)
+    d1 = make_poly(c.basis, acc1, Format.EVAL)
+    return d0, d1
+
+
+bv_apply = jax.jit(bv_apply)

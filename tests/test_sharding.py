@@ -68,3 +68,26 @@ def test_ckks_mult_relin_sharded_bit_equality(mesh8):
     for pr, po in zip(ref.polys, out.polys):
         assert np.array_equal(np.asarray(pr.lo), np.asarray(po.lo))
         assert np.array_equal(np.asarray(pr.hi), np.asarray(po.hi))
+
+
+def test_four_step_ntt_bit_equality(mesh8):
+    """Distributed four-step NTT (local NTTs + sharded transpose + twist)
+    must be bit-exact vs the single-device transform."""
+    from openfhe_tpu.parallel import dntt
+
+    n1, n2 = 32, 16
+    n = n1 * n2
+    moduli = tuple(nbtheory.generate_prime_chain(2, 55, n))
+    plan = ntt.make_plan(n, moduli)
+    rows = [[int(v) for v in RNG.integers(0, q, size=n, dtype=np.uint64)]
+            for q in moduli]
+    x = limb.from_int_array(np.asarray(rows, dtype=object))
+    ref = ntt.forward_jit(plan, x)
+
+    xs = limb.U64(jax.device_put(x.lo, pmesh.poly_sharding(mesh8)),
+                  jax.device_put(x.hi, pmesh.poly_sharding(mesh8)))
+    got4 = jax.jit(
+        lambda a: dntt.four_step_forward(a, n1, n2, moduli, mesh=mesh8))(xs)
+    got = dntt.standard_order(got4, n1, n2)
+    assert np.array_equal(np.asarray(ref.lo), np.asarray(got.lo))
+    assert np.array_equal(np.asarray(ref.hi), np.asarray(got.hi))
