@@ -501,3 +501,126 @@ def bootstrap(ctx: BinFHEContext, bk: BootstrapKey,
     a = (2 * ct.a) % q
     b = (2 * ct.b - q // 8) % q
     return bootstrap_raw(ctx, bk, a, b)
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary-function bootstrapping over Z_p (role of BinFHEContext::EvalFunc
+# for negacyclic LUTs, ``binfhe-base-scheme.cpp:241-349``)
+# ---------------------------------------------------------------------------
+
+
+def encrypt_zp(ctx: BinFHEContext, sk: BinFHESecret, m: int, p: int,
+               rng: np.random.Generator) -> LWECiphertext:
+    """LWE encrypt a message in Z_p at q/p (general message space)."""
+    pp = ctx.params
+    q = pp.q
+    a = rng.integers(0, q, size=pp.n_lwe, dtype=np.int64)
+    e = int(np.rint(rng.normal(0, pp.sigma)))
+    b = (int(a @ sk.s_lwe) + e + (m * q) // p) % q
+    return LWECiphertext(a, b, q)
+
+
+def decrypt_zp(ctx: BinFHEContext, sk: BinFHESecret, ct: LWECiphertext,
+               p: int) -> int:
+    q = ct.modulus
+    phase = (ct.b - int(ct.a @ sk.s_lwe)) % q
+    return int(((p * phase + q // 2) // q) % p)
+
+
+def eval_func(ctx: BinFHEContext, bk: BootstrapKey, ct: LWECiphertext,
+              lut, p: int) -> LWECiphertext:
+    """Programmable bootstrapping: out encrypts lut[m] for input message m,
+    for NEGACYCLIC tables (lut[(m + p/2) % p] == -lut[m] mod p). The
+    reference extends this to arbitrary functions with a two-stage PBS; the
+    negacyclic core here is that building block."""
+    pp = ctx.params
+    N, Q, q = pp.N, pp.Q, pp.q
+    half = p // 2
+    for m in range(half):
+        assert (lut[(m + half) % p] + lut[m]) % p == 0, \
+            "lut must be negacyclic; compose eval_func twice otherwise"
+    # const(tv * X^{w~}) = -t_{N-w~} for w~ in (0, N], +t_{2N-w~} above;
+    # with w~ ~= m*2N/p both constraints reduce (via negacyclicity) to
+    # t_k = f(p - k*p/(2N)) * Q/p.
+    tv = np.zeros(N, dtype=object)
+    for k in range(N):
+        m_at = (p - int(np.rint(k * p / (2.0 * N)))) % p
+        tv[k] = (lut[m_at] * Q // p) % Q
+    acc = _bootstrap_core_tv(ctx, bk, np.asarray(ct.a)[None, :],
+                             np.asarray([ct.b]), tv)
+    return _extract_and_keyswitch_offset(ctx, bk, acc, offset=0)[0]
+
+
+def eval_sign(ctx: BinFHEContext, bk: BootstrapKey, ct: LWECiphertext,
+              p: int) -> LWECiphertext:
+    """Sign of a centered Z_p message: 1 for m in (0, p/2), p-1 for
+    m in (p/2, p) (reference: EvalSign's single-digit core)."""
+    lut = [0] + [1] * (p // 2 - 1) + [0] + [p - 1] * (p // 2 - 1)
+    return eval_func(ctx, bk, ct, lut, p)
+
+
+def eval_floor(ctx, bk, ct, p):
+    """Reference: EvalFloor (large-precision digit stripping). Not yet
+    implemented — requires the multi-PBS digit pipeline; eval_func covers
+    single-digit LUTs today."""
+    raise NotImplementedError(
+        "multi-digit EvalFloor/EvalDecomp land with the large-precision "
+        "binfhe extension; use eval_func for single-digit LUTs")
+
+
+def _bootstrap_core_tv(ctx, bk, a_2n, b_2n, tv):
+    """Like _bootstrap_core but with a caller-provided test polynomial."""
+    p = ctx.params
+    N, Q = p.N, p.Q
+    from ..ops.limb import from_int_array
+    batch = len(b_2n)
+    c0 = np.zeros((batch, N), dtype=object)
+    for bi in range(batch):
+        shift = int(b_2n[bi]) % (2 * N)
+        for j in range(N):
+            e = (j + shift) % (2 * N)
+            if e < N:
+                c0[bi, e] = (c0[bi, e] + tv[j]) % Q
+            else:
+                c0[bi, e - N] = (c0[bi, e - N] - tv[j]) % Q
+    rows = np.zeros((batch, 2, N), dtype=object)
+    rows[:, 0, :] = c0
+    acc = from_int_array(rows)
+    rotate = _blind_rotate_fn(ctx)
+    a_dev = jnp.asarray((np.asarray(a_2n).T % (2 * N)).astype(np.int32))
+    return rotate(acc, a_dev, bk.ek_lo, bk.ek_hi)
+
+
+def _extract_and_keyswitch_offset(ctx, bk, acc_coeff, offset: int):
+    """_extract_and_keyswitch with a configurable post-extract offset
+    (gate bootstrapping adds Q/8; LUT bootstrapping adds none)."""
+    p = ctx.params
+    N, Q, q_ks, q = p.N, p.Q, p.q_ks, p.q
+    lo = np.asarray(acc_coeff.lo).astype(np.int64)
+    hi = np.asarray(acc_coeff.hi).astype(np.int64)
+    vals = (hi << 32) | lo
+    c0 = vals[:, 0, :]
+    c1 = vals[:, 1, :]
+    batch = c0.shape[0]
+    b_N = (c0[:, 0] + offset) % Q
+    a_N = np.concatenate([c1[:, :1], (-c1[:, :0:-1]) % Q], axis=1)
+    b1 = (b_N * q_ks * 2 + Q) // (2 * Q) % q_ks
+    a1 = ((a_N * q_ks * 2 + Q) // (2 * Q)) % q_ks
+    B_ks = 1 << p.log_bks
+    digits = []
+    rem = a1.copy()
+    for d in range(p.d_ks):
+        digits.append(rem % B_ks)
+        rem //= B_ks
+    digits = np.stack(digits, axis=2)
+    ks_a = np.asarray(bk.ks_a).astype(np.int64)
+    ks_b = np.asarray(bk.ks_b).astype(np.int64)
+    j_idx = np.arange(N)[None, :, None]
+    d_idx = np.arange(p.d_ks)[None, None, :]
+    sel_a = ks_a[j_idx, d_idx, digits]
+    sel_b = ks_b[j_idx, d_idx, digits]
+    a_out = sel_a.sum(axis=(1, 2)) % q_ks
+    b_out = (b1 + sel_b.sum(axis=(1, 2))) % q_ks
+    b2 = (b_out * q * 2 + q_ks) // (2 * q_ks) % q
+    a2 = ((a_out * q * 2 + q_ks) // (2 * q_ks)) % q
+    return [LWECiphertext(a2[i], int(b2[i]), q) for i in range(batch)]

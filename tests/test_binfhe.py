@@ -61,3 +61,24 @@ def test_bootstrap_refresh_and_chain(setup):
     nands = binfhe.eval_gate_batch(ctx, "NAND", bk, [ct0, ct1], [ct1, ct1])
     outs = binfhe.eval_gate_batch(ctx, "NAND", bk, nands, nands)
     assert [binfhe.decrypt(ctx, sk, o) for o in outs] == [0, 1]
+
+
+def test_eval_func_lut(setup):
+    """Programmable bootstrapping with a negacyclic LUT over Z_8
+    (reference: EvalFunc)."""
+    ctx, sk, bk = setup
+    p = 8
+    lut = [0, 1, 2, 3, 0, 7, 6, 5]  # negacyclic: lut[m+4] = -lut[m] mod 8
+    for m in (1, 3, 5):
+        ct = binfhe.encrypt_zp(ctx, sk, m, p, RNG)
+        out = binfhe.eval_func(ctx, bk, ct, lut, p)
+        assert binfhe.decrypt_zp(ctx, sk, out, p) == lut[m]
+
+
+def test_eval_sign(setup):
+    ctx, sk, bk = setup
+    p = 8
+    for m, expected in [(1, 1), (3, 1), (5, p - 1), (7, p - 1)]:
+        ct = binfhe.encrypt_zp(ctx, sk, m, p, RNG)
+        out = binfhe.eval_sign(ctx, bk, ct, p)
+        assert binfhe.decrypt_zp(ctx, sk, out, p) == expected
