@@ -151,7 +151,7 @@ def keygen(params: KSParams, s_from: RnsPoly, s_to: RnsPoly,
         a = rns_poly_from_rows(basis, a_rows, Format.EVAL)
         e_rows = sampling.signed_to_rns_rows(
             sampling.gaussian_coeffs(n, rng, sigma) * error_scale, moduli)
-        e_coeff = from_int_array(np.asarray(e_rows, dtype=object))
+        e_coeff = from_int_array(e_rows)
         fj = U64(fac.lo[j], fac.hi[j])
         fj_pre = U64(fac_pre.lo[j], fac_pre.hi[j])
         b = digit_b(a.data, e_coeff, s_from.data, s_to.data, fj, fj_pre)
@@ -181,7 +181,7 @@ def _digit_b_fn(basis: RnsBasis):
 
 
 def rns_poly_from_rows(basis: RnsBasis, rows, fmt: Format) -> RnsPoly:
-    data = from_int_array(np.asarray(rows, dtype=object))
+    data = from_int_array(rows)
     return make_poly(basis, data, fmt)
 
 
@@ -305,7 +305,7 @@ def bv_keygen(params: BVKSParams, s_from: RnsPoly, s_to: RnsPoly,
         e_rows = sampling.signed_to_rns_rows(
             sampling.gaussian_coeffs(params.n, rng, sigma) * error_scale,
             basis.moduli)
-        e_coeff = from_int_array(np.asarray(e_rows, dtype=object))
+        e_coeff = from_int_array(e_rows)
         fj = U64(fac.lo[k], fac.hi[k])
         fj_pre = U64(pre.lo[k], pre.hi[k])
         b = digit_b(a.data, e_coeff, s_from.data, s_to.data, fj, fj_pre)

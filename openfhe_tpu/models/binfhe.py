@@ -151,17 +151,12 @@ def _rlwe_encrypt_batch(ctx, z_eval: U64, msgs_eval: U64, shape,
     """Batch RLWE encryptions under ring secret z: returns (c0, c1) with
     phase c0 + c1*z = msg + e. All arrays [*shape, N] over single modulus."""
     p = ctx.params
-    plan = ctx.plan
     N, Q = p.N, p.Q
-    total = int(np.prod(shape))
-    a_rows = np.asarray(
-        [[int(v) for v in rng.integers(0, Q, size=N, dtype=np.uint64)]
-         for _ in range(total)], dtype=object).reshape(*shape, N)
     from ..ops.limb import from_int_array
+    a_rows = rng.integers(0, Q, size=(*shape, N), dtype=np.uint64)
     a = from_int_array(a_rows)
-    e_rows = np.asarray(
-        [[int(v) % Q for v in np.rint(rng.normal(0, p.sigma, size=N)).astype(np.int64)]
-         for _ in range(total)], dtype=object).reshape(*shape, N)
+    e_rows = (np.rint(rng.normal(0, p.sigma, size=(*shape, N)))
+              .astype(np.int64) % Q).astype(np.uint64)
     e_coeff = from_int_array(e_rows)
     return _rlwe_batch_jit(ctx, shape)(a, e_coeff, z_eval, msgs_eval)
 
@@ -213,8 +208,7 @@ def bootstrap_keygen(ctx: BinFHEContext, sk: BinFHESecret,
     from ..ops.limb import from_int_array
 
     z_rows = sampling.signed_to_rns_rows(sk.z_ring, (Q,))
-    z_eval = ntt_ops.forward_jit(plan, from_int_array(
-        np.asarray(z_rows, dtype=object)))  # [1, N]
+    z_eval = ntt_ops.forward_jit(plan, from_int_array(z_rows))  # [1, N]
     z_flat = U64(z_eval.lo[0], z_eval.hi[0])
 
     # messages for RGSW rows: bit * B^d and bit * B^d * z  (eval domain)

@@ -384,10 +384,9 @@ def rescale(ct: Ciphertext) -> Ciphertext:
     DropLastElementAndScale)."""
     moduli = ct.basis.moduli
     new_basis = ct.basis.drop_last()
-    polys = []
-    for p in ct.polys:
-        data = rns.rescale_eval(p.data, moduli)
-        polys.append(dcrt.make_poly(new_basis, data, Format.EVAL))
+    fn = _rescale_fn(moduli)
+    polys = [dcrt.make_poly(new_basis, fn(p.data), Format.EVAL)
+             for p in ct.polys]
     return Ciphertext(tuple(polys), ct.scale / moduli[-1])
 
 
@@ -435,14 +434,15 @@ def eval_mult_plain(ctx: CKKSContext, ct: Ciphertext,
                       ct.scale * ctx.scale)
 
 
-# Jitted entry points (static metadata on Ciphertext drives specialization).
-eval_add = jax.jit(eval_add)
-eval_sub = jax.jit(eval_sub)
-eval_mult = jax.jit(eval_mult)
-relinearize = jax.jit(relinearize)
-eval_mult_relin = jax.jit(eval_mult_relin)
-eval_square_relin = jax.jit(eval_square_relin)
-rescale = jax.jit(rescale)
-level_reduce = jax.jit(level_reduce, static_argnums=1)
-eval_rotate = jax.jit(eval_rotate, static_argnums=1)
-eval_conjugate = jax.jit(eval_conjugate)
+# NOTE ON JIT GRANULARITY: Ciphertext.scale is static pytree metadata, so
+# jitting these wrappers would retrace every op graph for every distinct
+# scale float (a compile explosion in deep Chebyshev/bootstrap chains).
+# All device work is instead jitted at the RnsPoly level (dcrt ops,
+# keyswitch.apply, the cached rescale kernel below), which is scale-free;
+# callers wanting one fused graph (benchmarks) wrap a whole pipeline in an
+# outer jax.jit themselves.
+
+
+@lru_cache(maxsize=None)
+def _rescale_fn(moduli: Tuple[int, ...]):
+    return jax.jit(lambda d: rns.rescale_eval(d, moduli))

@@ -59,6 +59,12 @@ def from_int_array(values, dtype=np.uint32) -> U64:
     Goes through dtype=object to avoid numpy silently converting large ints
     to float64.
     """
+    if isinstance(values, np.ndarray) and values.dtype in (np.int64,
+                                                           np.uint64):
+        # fast vectorized path for numeric arrays (values < 2^64)
+        arr = values.astype(np.uint64)
+        return U64((arr & np.uint64(0xFFFFFFFF)).astype(dtype),
+                   (arr >> np.uint64(32)).astype(dtype))
     obj = np.asarray(values, dtype=object)
     flat = [int(v) for v in obj.ravel()]
     lo = np.asarray([v & 0xFFFFFFFF for v in flat], dtype).reshape(obj.shape)
@@ -68,13 +74,11 @@ def from_int_array(values, dtype=np.uint32) -> U64:
 
 def to_int_array(x: U64) -> np.ndarray:
     """Host helper: U64 -> numpy object array of Python ints (exact)."""
-    lo = np.asarray(x.lo, dtype=np.uint32)
-    hi = np.asarray(x.hi, dtype=np.uint32)
-    out = np.empty(lo.shape, dtype=object)
-    flat_lo, flat_hi, flat_out = lo.ravel(), hi.ravel(), out.ravel()
-    for i in range(flat_lo.size):
-        flat_out[i] = (int(flat_hi[i]) << 32) | int(flat_lo[i])
-    return out
+    lo = np.asarray(x.lo, dtype=np.uint32).astype(np.uint64)
+    hi = np.asarray(x.hi, dtype=np.uint32).astype(np.uint64)
+    merged = (hi << np.uint64(32)) | lo
+    # object array of exact Python ints (values < 2^64 so uint64 is exact)
+    return np.frompyfunc(int, 1, 1)(merged)
 
 
 def zeros(shape) -> U64:

@@ -37,13 +37,22 @@ def gaussian_coeffs(n: int, rng: np.random.Generator,
 
 
 def uniform_rns_rows(n: int, moduli: Sequence[int],
-                     rng: np.random.Generator) -> List[List[int]]:
-    """Uniform element of R_Q in RNS form: independent uniforms per tower."""
-    return [[int(v) for v in rng.integers(0, q, size=n, dtype=np.uint64)]
-            for q in moduli]
+                     rng: np.random.Generator) -> np.ndarray:
+    """Uniform element of R_Q in RNS form: independent uniforms per tower.
+    Returns uint64 [L, n] (moduli < 2^62 so uint64 is exact)."""
+    return np.stack([rng.integers(0, q, size=n, dtype=np.uint64)
+                     for q in moduli])
 
 
-def signed_to_rns_rows(coeffs, moduli: Sequence[int]) -> List[List[int]]:
-    """Small signed integer coefficients -> RNS rows (exact, Python ints)."""
+def signed_to_rns_rows(coeffs, moduli: Sequence[int]) -> np.ndarray:
+    """Signed integer coefficients -> RNS rows, vectorized when the values
+    fit int64 (secrets/errors always do); exact bigint fallback otherwise.
+    Returns uint64 [L, n] or a list-of-list of Python ints."""
+    arr = np.asarray(coeffs)
+    if arr.dtype != object and np.issubdtype(arr.dtype, np.integer):
+        cs = arr.astype(np.int64)
+        qs = np.asarray([int(q) for q in moduli], dtype=np.int64)
+        rows = cs[None, :] % qs[:, None]  # numpy % is non-negative
+        return rows.astype(np.uint64)
     cs = [int(c) for c in coeffs]
     return [[c % q for c in cs] for q in moduli]
