@@ -158,3 +158,38 @@ def packed_encode(values: Sequence[int], n: int, t: int) -> List[int]:
 def packed_decode(coeffs: Sequence[int], n: int, t: int) -> List[int]:
     psi, psi_inv, n_inv = _packed_tables(n, t)
     return _host_ntt([int(c) % t for c in coeffs], t, psi, n)
+
+
+# ---------------------------------------------------------------------------
+# Coefficient-packed and string encodings
+# ---------------------------------------------------------------------------
+
+
+def coef_encode(values: Sequence[int], n: int, t: int) -> List[int]:
+    """Integers directly as polynomial coefficients mod t (reference:
+    ``CoefPackedEncoding``, pke/lib/encoding/coefpackedencoding.cpp).
+    Signed inputs are lifted to [0, t); decode re-centers."""
+    if len(values) > n:
+        raise ValueError(f"{len(values)} values exceed ring dimension {n}")
+    return [int(v) % t for v in values] + [0] * (n - len(values))
+
+
+def coef_decode(coeffs: Sequence[int], n: int, t: int,
+                length: int | None = None) -> List[int]:
+    """Inverse of coef_encode with centered lift to (-t/2, t/2]."""
+    out = [int(c) % t for c in coeffs[: (n if length is None else length)]]
+    return [v - t if v > t // 2 else v for v in out]
+
+
+def string_encode(text: str, n: int, t: int = 256) -> List[int]:
+    """UTF-8 bytes as coefficients (reference: ``StringEncoding``,
+    pke/lib/encoding/stringencoding.cpp; fixed t=256 alphabet)."""
+    data = text.encode("utf-8")
+    if len(data) > n:
+        raise ValueError(f"string of {len(data)} bytes exceeds ring dim {n}")
+    return [int(b) % t for b in data] + [0] * (n - len(data))
+
+
+def string_decode(coeffs: Sequence[int], t: int = 256) -> str:
+    raw = bytes(int(c) % t for c in coeffs)
+    return raw.rstrip(b"\x00").decode("utf-8", errors="replace")

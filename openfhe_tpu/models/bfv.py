@@ -26,7 +26,7 @@ from ..dcrt import Format, RnsBasis, RnsPoly
 from ..ops import ntt as ntt_ops
 from ..ops import rns
 from ..ops.limb import U64
-from ..utils import nbtheory, sampling
+from ..utils import nbtheory, sampling, security
 from .ckks import PublicKey, SecretKey, crt_interpolate_centered
 
 
@@ -38,6 +38,7 @@ class BFVParams:
     mod_size: int = 60
     dnum: int = 3
     sigma: float = 3.19
+    security_level: str = "HEStd_NotSet"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -96,6 +97,8 @@ def gen_context(params: BFVParams) -> BFVContext:
     alpha = -(-params.num_towers // params.dnum)
     ps = tuple(nbtheory.generate_prime_chain(alpha, params.mod_size, n,
                                              list(qs) + list(rs)))
+    log_qp = sum(q.bit_length() for q in qs) + sum(p.bit_length() for p in ps)
+    security.validate(n, log_qp, params.security_level)
     return BFVContext(params, qs, rs, ps)
 
 
@@ -155,6 +158,42 @@ def encode(ctx: BFVContext, values: Sequence[int]) -> RnsPoly:
     return dcrt.mul_tower_const(p, ctx.delta_rows)
 
 
+def encode_coef(ctx: BFVContext, values: Sequence[int]) -> RnsPoly:
+    """Coefficient-packed plaintext (role of CoefPackedEncoding,
+    pke/lib/encoding/coefpackedencoding.cpp): integers directly as
+    Delta-scaled polynomial coefficients, no slot NTT."""
+    coeffs = encoding.coef_encode(values, ctx.n, ctx.t)
+    basis = ctx.basis()
+    rows = sampling.signed_to_rns_rows(coeffs, basis.moduli)
+    p = dcrt.to_eval(dcrt.from_int_rows(basis, rows, Format.COEFF))
+    return dcrt.mul_tower_const(p, ctx.delta_rows)
+
+
+def encode_string(ctx: BFVContext, text: str) -> RnsPoly:
+    """String plaintext (role of StringEncoding,
+    pke/lib/encoding/stringencoding.cpp); requires t >= 256."""
+    assert ctx.t >= 256, "string encoding needs plaintext modulus >= 256"
+    coeffs = encoding.string_encode(text, ctx.n)
+    basis = ctx.basis()
+    rows = sampling.signed_to_rns_rows(coeffs, basis.moduli)
+    p = dcrt.to_eval(dcrt.from_int_rows(basis, rows, Format.COEFF))
+    return dcrt.mul_tower_const(p, ctx.delta_rows)
+
+
+def encrypt_poly(ctx: BFVContext, pk: PublicKey, mpoly: RnsPoly,
+                 rng: np.random.Generator) -> Ciphertext:
+    """Encrypt a pre-encoded EVAL-format plaintext polynomial."""
+    basis = ctx.basis()
+    v_rows = sampling.signed_to_rns_rows(
+        sampling.ternary_coeffs(ctx.n, rng), basis.moduli)
+    v = dcrt.to_eval(dcrt.from_int_rows(basis, v_rows, Format.COEFF))
+    e0 = _error_poly(ctx, basis, rng)
+    e1 = _error_poly(ctx, basis, rng)
+    c0 = dcrt.add(dcrt.add(dcrt.mul(pk.b, v), e0), mpoly)
+    c1 = dcrt.add(dcrt.mul(pk.a, v), e1)
+    return Ciphertext((c0, c1))
+
+
 def encrypt(ctx: BFVContext, pk: PublicKey, values: Sequence[int],
             rng: np.random.Generator) -> Ciphertext:
     basis = ctx.basis()
@@ -185,6 +224,31 @@ def decrypt(ctx: BFVContext, sk: SecretKey, ct: Ciphertext,
     vals = [int(v) for v in to_int_array(scaled)[0]]
     slots = encoding.packed_decode(vals, ctx.n, ctx.t)
     return slots[:num_slots] if num_slots else slots
+
+
+def _decrypt_coeffs(ctx: BFVContext, sk: SecretKey, ct: Ciphertext) -> list:
+    """Raw plaintext coefficients mod t (shared by coef/string decode)."""
+    basis = ct.basis
+    s = sk.poly(basis)
+    acc = ct.polys[0]
+    s_pow = s
+    for c in ct.polys[1:]:
+        acc = dcrt.add(acc, dcrt.mul(c, s_pow))
+        s_pow = dcrt.mul(s_pow, s)
+    coeff = dcrt.to_coeff(acc)
+    scaled = _decrypt_scale(ctx)(coeff.data)
+    from ..ops.limb import to_int_array
+    return [int(v) for v in to_int_array(scaled)[0]]
+
+
+def decrypt_coef(ctx: BFVContext, sk: SecretKey, ct: Ciphertext,
+                 length: int | None = None) -> list:
+    return encoding.coef_decode(_decrypt_coeffs(ctx, sk, ct), ctx.n, ctx.t,
+                                length)
+
+
+def decrypt_string(ctx: BFVContext, sk: SecretKey, ct: Ciphertext) -> str:
+    return encoding.string_decode(_decrypt_coeffs(ctx, sk, ct))
 
 
 @lru_cache(maxsize=None)

@@ -30,7 +30,7 @@ from ..ops import rns
 from ..ops.limb import U64
 from ..ops.modular import (add_mod, make_mod_consts, mul_mod_shoup,
                            shoup_precon_int, sub_mod, switch_modulus)
-from ..utils import nbtheory, sampling
+from ..utils import nbtheory, sampling, security
 from .ckks import crt_interpolate_centered
 
 
@@ -42,6 +42,7 @@ class BGVParams:
     mod_size: int = 60
     dnum: int = 3
     sigma: float = 3.19
+    security_level: str = "HEStd_NotSet"
 
     @property
     def num_towers(self) -> int:
@@ -92,6 +93,8 @@ def gen_context(params: BGVParams) -> BGVContext:
     while len(ps) < alpha:
         cursor = nbtheory.prev_ntt_prime_below(cursor, m)
         ps.append(cursor)
+    log_qp = sum(q.bit_length() for q in qs) + sum(p.bit_length() for p in ps)
+    security.validate(n, log_qp, params.security_level)
     return BGVContext(params, tuple(qs), tuple(ps))
 
 

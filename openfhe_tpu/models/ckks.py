@@ -26,7 +26,7 @@ from ..dcrt import Format, RnsBasis, RnsPoly
 from ..ops import ntt as ntt_ops
 from ..ops import rns
 from ..ops.limb import U64, from_int_array, to_int_array
-from ..utils import nbtheory, sampling
+from ..utils import nbtheory, sampling, security
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,6 +41,7 @@ class CKKSParams:
     dnum: int = 3           # hybrid keyswitch digit count
     sigma: float = 3.19
     secret_hw: int = 0      # 0 = dense uniform ternary; else sparse weight
+    security_level: str = "HEStd_NotSet"  # HE-standard level, see utils.security
 
     @property
     def num_towers(self) -> int:
@@ -120,6 +121,8 @@ def gen_context(params: CKKSParams) -> CKKSContext:
         ps.append(cursor)
         used.add(cursor)
         cursor = nbtheory.previous_prime(cursor, m)
+    log_qp = sum(q.bit_length() for q in qs) + sum(p.bit_length() for p in ps)
+    security.validate(n, log_qp, params.security_level)
     return CKKSContext(params, tuple(qs), tuple(ps))
 
 
