@@ -44,6 +44,8 @@ class BinFHEParams:
     log_bg: int         # gadget base log (accumulator decomposition)
     log_bks: int        # key-switch base log
     sigma: float = 3.19
+    method: str = "GINX"   # blind-rotation strategy: GINX (CGGI) or AP (DM)
+    log_br: int = 3        # AP refresh base log (reference: baseR)
 
     @property
     def q(self) -> int:
@@ -56,6 +58,15 @@ class BinFHEParams:
     @property
     def d_ks(self) -> int:
         return -(-self.q_ks.bit_length() // self.log_bks)
+
+    @property
+    def B_r(self) -> int:
+        return 1 << self.log_br
+
+    @property
+    def d_r(self) -> int:
+        """AP digit count: B_r^d_r >= 2N (exponent modulus)."""
+        return -(-(2 * self.N - 1).bit_length() // self.log_br)
 
 
 def toy_params() -> BinFHEParams:
@@ -70,7 +81,16 @@ def std128_params() -> BinFHEParams:
                         log_bg=7, log_bks=5, sigma=3.19)
 
 
-PARAM_SETS = {"TOY": toy_params, "STD128": std128_params}
+def toy_ap_params() -> BinFHEParams:
+    return dataclasses.replace(toy_params(), method="AP", log_br=3)
+
+
+def std128_ap_params() -> BinFHEParams:
+    return dataclasses.replace(std128_params(), method="AP", log_br=5)
+
+
+PARAM_SETS = {"TOY": toy_params, "STD128": std128_params,
+              "TOY_AP": toy_ap_params, "STD128_AP": std128_ap_params}
 
 
 class LWECiphertext(NamedTuple):
@@ -198,10 +218,36 @@ def _intt_nd(plan, x: U64) -> U64:
     return U64(out.lo.reshape(shape), out.hi.reshape(shape))
 
 
+def _keyswitch_keygen(ctx: BinFHEContext, sk: BinFHESecret,
+                      rng: np.random.Generator):
+    """LWE key-switch key ring-coeffs -> s_lwe at q_ks (shared by all
+    accumulator methods; reference: LWEEncryptionScheme::KeySwitchGen)."""
+    p = ctx.params
+    N, n = p.N, p.n_lwe
+    q_ks, d_ks, B_ks = p.q_ks, p.d_ks, 1 << p.log_bks
+    a_ks = rng.integers(0, q_ks, size=(N, d_ks, B_ks, n), dtype=np.int64)
+    e_ks = np.rint(rng.normal(0, p.sigma, size=(N, d_ks, B_ks))).astype(np.int64)
+    vals = np.arange(B_ks, dtype=np.int64)[None, None, :]
+    targets = (vals * (1 << (p.log_bks * np.arange(d_ks)))[None, :, None]
+               * sk.z_ring[:, None, None]) % q_ks
+    b_ks = (np.einsum("jdvn,n->jdv", a_ks, sk.s_lwe) + e_ks + targets) % q_ks
+    return (jnp.asarray(a_ks.astype(np.int32)),
+            jnp.asarray(b_ks.astype(np.int32)))
+
+
 def bootstrap_keygen(ctx: BinFHEContext, sk: BinFHESecret,
                      rng: np.random.Generator) -> BootstrapKey:
-    """(role of BinFHEContext::BTKeyGen + RingGSWAccumulatorCGGI::KeyGenAcc,
-    ``rgsw-acc-cggi.cpp:40-57``)."""
+    """(role of BinFHEContext::BTKeyGen + RingGSWAccumulator*::KeyGenAcc;
+    dispatches on the method like the reference's BINFHE_METHOD)."""
+    if ctx.params.method == "AP":
+        return _bootstrap_keygen_dm(ctx, sk, rng)
+    assert ctx.params.method == "GINX", ctx.params.method
+    return _bootstrap_keygen_cggi(ctx, sk, rng)
+
+
+def _bootstrap_keygen_cggi(ctx: BinFHEContext, sk: BinFHESecret,
+                           rng: np.random.Generator) -> BootstrapKey:
+    """CGGI/GINX ternary-secret double keys (``rgsw-acc-cggi.cpp:40-57``)."""
     p = ctx.params
     N, Q, n, dg = p.N, p.Q, p.n_lwe, p.dg
     plan = ctx.plan
@@ -241,19 +287,49 @@ def bootstrap_keygen(ctx: BinFHEContext, sk: BinFHESecret,
     c0, c1 = _rlwe_encrypt_batch(ctx, z_eval, msgs_all, (n, 2, 2 * dg), rng)
     ek_lo = jnp.stack([c0.lo, c1.lo], axis=3)  # [n, 2, 2dg, 2, N]
     ek_hi = jnp.stack([c0.hi, c1.hi], axis=3)
+    ks_a, ks_b = _keyswitch_keygen(ctx, sk, rng)
+    return BootstrapKey(ek_lo, ek_hi, ks_a, ks_b)
 
-    # LWE key-switch key: for each ring coeff j, digit d, value v:
-    # encryption of v * B_ks^d * z_j under s_lwe at modulus q_ks.
-    q_ks, d_ks, B_ks = p.q_ks, p.d_ks, 1 << p.log_bks
-    a_ks = rng.integers(0, q_ks, size=(N, d_ks, B_ks, n), dtype=np.int64)
-    e_ks = np.rint(rng.normal(0, p.sigma, size=(N, d_ks, B_ks))).astype(np.int64)
-    vals = np.arange(B_ks, dtype=np.int64)[None, None, :]
-    targets = (vals * (1 << (p.log_bks * np.arange(d_ks)))[None, :, None]
-               * sk.z_ring[:, None, None]) % q_ks
-    b_ks = (np.einsum("jdvn,n->jdv", a_ks, sk.s_lwe) + e_ks + targets) % q_ks
-    return BootstrapKey(ek_lo, ek_hi,
-                        jnp.asarray(a_ks.astype(np.int32)),
-                        jnp.asarray(b_ks.astype(np.int32)))
+
+def _bootstrap_keygen_dm(ctx: BinFHEContext, sk: BinFHESecret,
+                         rng: np.random.Generator) -> BootstrapKey:
+    """DM/AP accumulator key (role of RingGSWAccumulatorDM::KeyGenAcc,
+    ``rgsw-acc-dm.cpp``): ek[i, j, v] = RGSW(X^{s_i * v * B_r^j}), so blind
+    rotation multiplies one slab per (i, digit) step — value selection is a
+    device gather instead of the reference's host-side branch over digits."""
+    p = ctx.params
+    N, Q, n, dg = p.N, p.Q, p.n_lwe, p.dg
+    d_r, B_r = p.d_r, p.B_r
+    plan = ctx.plan
+    from ..ops.limb import from_int_array
+
+    z_rows = sampling.signed_to_rns_rows(sk.z_ring, (Q,))
+    z_eval = ntt_ops.forward_jit(plan, from_int_array(z_rows))  # [1, N]
+    z_flat = U64(z_eval.lo[0], z_eval.hi[0])
+
+    mono = _monomial_eval_np(ctx)                      # int64 [2N, N]
+    s = sk.s_lwe.astype(np.int64)
+    v = np.arange(B_r, dtype=np.int64)
+    bpow = np.array([pow(B_r, j, 2 * N) for j in range(d_r)], np.int64)
+    c = (s[:, None, None] * bpow[None, :, None] * v[None, None, :]) % (2 * N)
+    M = n * d_r * B_r
+    xc = mono[c.reshape(-1)]                           # [M, N] int64, < Q < 2^31
+    powers = np.array([(1 << (p.log_bg * d)) % Q for d in range(dg)], np.int64)
+    first_np = (xc[:, None, :] * powers[None, :, None]) % Q  # [M, dg, N]
+    first = from_int_array(first_np.astype(np.uint64))
+    zb = U64(jnp.broadcast_to(z_flat.lo, (M, dg, N)),
+             jnp.broadcast_to(z_flat.hi, (M, dg, N)))
+    second = mul_mod(first, zb, _scalar_mod(ctx))
+    msgs_all = U64(jnp.concatenate([first.lo, second.lo], axis=1),
+                   jnp.concatenate([first.hi, second.hi], axis=1))
+
+    c0, c1 = _rlwe_encrypt_batch(ctx, z_eval, msgs_all, (M, 2 * dg), rng)
+    ek_lo = jnp.stack([c0.lo, c1.lo], axis=2)          # [M, 2dg, 2, N]
+    ek_hi = jnp.stack([c0.hi, c1.hi], axis=2)
+    ek_lo = ek_lo.reshape(n * d_r, B_r, 2 * dg, 2, N)
+    ek_hi = ek_hi.reshape(n * d_r, B_r, 2 * dg, 2, N)
+    ks_a, ks_b = _keyswitch_keygen(ctx, sk, rng)
+    return BootstrapKey(ek_lo, ek_hi, ks_a, ks_b)
 
 
 # ---------------------------------------------------------------------------
@@ -262,40 +338,40 @@ def bootstrap_keygen(ctx: BinFHEContext, sk: BinFHESecret,
 
 
 @lru_cache(maxsize=None)
-def _monomial_table(ctx: BinFHEContext) -> U64:
-    """[2N, N] eval-domain values of (X^c - 1) for every exponent c."""
+def _monomial_eval_np(ctx: BinFHEContext) -> np.ndarray:
+    """int64 [2N, N] eval-domain values of X^c for every exponent c
+    (slot j evaluates at psi^(2*rev(j)+1))."""
     p = ctx.params
     N, Q = p.N, p.Q
     psi = nbtheory.root_of_unity(2 * N, Q)
     rev = ntt_ops.bit_reverse_perm(N)
-    # slot j holds evaluation at psi^(2*rev(j)+1)
-    exps = (2 * rev + 1) % (2 * N)
-    table = np.zeros((2 * N, N), dtype=object)
-    pw = [1] * (2 * N)
+    exps = ((2 * rev + 1) % (2 * N)).astype(np.int64)
+    pw = np.ones(2 * N, dtype=np.int64)
     for i in range(1, 2 * N):
         pw[i] = pw[i - 1] * psi % Q
-    for c in range(2 * N):
-        for j in range(N):
-            table[c, j] = (pw[(c * int(exps[j])) % (2 * N)] - 1) % Q
-    from ..ops.limb import from_int_array
-    return from_int_array(table)
+    idx = (np.arange(2 * N, dtype=np.int64)[:, None] * exps[None, :]) % (2 * N)
+    return pw[idx]
 
 
 @lru_cache(maxsize=None)
-def _blind_rotate_fn(ctx: BinFHEContext):
-    """Jitted scan over the n_lwe CGGI accumulator updates."""
-    p = ctx.params
+def _monomial_table(ctx: BinFHEContext) -> U64:
+    """[2N, N] eval-domain values of (X^c - 1) for every exponent c."""
+    Q = ctx.params.Q
+    table = (_monomial_eval_np(ctx) - 1) % Q
+    from ..ops.limb import from_int_array
+    return from_int_array(table.astype(np.uint64))
+
+
+def _make_signed_decompose(p: BinFHEParams):
+    """[B, 2, N] coeff -> [B, 2*dg, N] signed gadget digits as residues
+    mod Q (shared by the CGGI and DM external products; reference:
+    ``rgsw-acc.h:86-98`` SignedDigitDecompose)."""
     N, Q, dg, logB = p.N, p.Q, p.dg, p.log_bg
-    plan = ctx.plan
-    mod = _scalar_mod(ctx)
-    _mono = _monomial_table(ctx)
-    mono = U64(jnp.asarray(_mono.lo), jnp.asarray(_mono.hi))
     half_Q = Q // 2
     B = 1 << logB
     halfB = B // 2
 
     def signed_decompose(acc_coeff: U64):
-        """[B, 2, N] coeff -> [B, 2*dg, N] signed digits as residues mod Q."""
         v = acc_coeff.lo
         # centered lift in int32 (Q < 2^31)
         signed = jnp.where(v > jnp.uint32(half_Q),
@@ -310,6 +386,20 @@ def _blind_rotate_fn(ctx: BinFHEContext):
         d = d.reshape(d.shape[0], 2 * dg, N)
         lo = jnp.where(d < 0, (d + Q).astype(jnp.uint32), d.astype(jnp.uint32))
         return U64(lo, jnp.zeros_like(lo))
+
+    return signed_decompose
+
+
+@lru_cache(maxsize=None)
+def _blind_rotate_fn(ctx: BinFHEContext):
+    """Jitted scan over the n_lwe CGGI accumulator updates."""
+    p = ctx.params
+    N, Q, dg, logB = p.N, p.Q, p.dg, p.log_bg
+    plan = ctx.plan
+    mod = _scalar_mod(ctx)
+    _mono = _monomial_table(ctx)
+    mono = U64(jnp.asarray(_mono.lo), jnp.asarray(_mono.hi))
+    signed_decompose = _make_signed_decompose(p)
 
     def step(acc_coeff: U64, inputs):
         a_i, ek_lo_i, ek_hi_i = inputs  # [B], [2, 2dg, 2, N] x2
@@ -342,6 +432,57 @@ def _blind_rotate_fn(ctx: BinFHEContext):
         return final
 
     return rotate
+
+
+@lru_cache(maxsize=None)
+def _blind_rotate_dm_fn(ctx: BinFHEContext):
+    """Jitted scan over the n_lwe * d_r DM accumulator updates (role of
+    RingGSWAccumulatorDM::EvalAcc + AddToAccDM, ``rgsw-acc-dm.cpp``): each
+    step REPLACES acc by the external product acc (*) ek[i, j, digit],
+    where digit is gathered per batch element on device."""
+    p = ctx.params
+    dg = p.dg
+    plan = ctx.plan
+    mod = _scalar_mod(ctx)
+    signed_decompose = _make_signed_decompose(p)
+
+    def step(acc_coeff: U64, inputs):
+        dig, ek_lo_t, ek_hi_t = inputs  # [B] int32; [B_r, 2dg, 2, N] x2
+        digits = signed_decompose(acc_coeff)          # [B, 2dg, N]
+        dct = _ntt_nd(plan, digits)
+        key = U64(jnp.take(ek_lo_t, dig, axis=0),
+                  jnp.take(ek_hi_t, dig, axis=0))     # [B, 2dg, 2, N]
+        dx = U64(dct.lo[:, :, None, :], dct.hi[:, :, None, :])
+        prod = mul_mod(dx, key, mod)                  # [B, 2dg, 2, N]
+        acc_ext = None
+        for r in range(2 * dg):
+            term = U64(prod.lo[:, r], prod.hi[:, r])
+            acc_ext = term if acc_ext is None else \
+                add_mod(acc_ext, term, mod.q)
+        acc_coeff = _intt_nd(plan, acc_ext)           # [B, 2, N] coeff
+        return acc_coeff, None
+
+    @jax.jit
+    def rotate(acc_init: U64, dig_all, ek_lo, ek_hi):
+        # acc_init [B, 2, N]; dig_all [n*d_r, B]
+        final, _ = jax.lax.scan(step, acc_init, (dig_all, ek_lo, ek_hi))
+        return final
+
+    return rotate
+
+
+def _dm_digit_tensor(ctx: BinFHEContext, a_2n: np.ndarray) -> np.ndarray:
+    """[n*d_r, B] base-B_r digits of (2N - a_i) mod 2N, so the product of
+    the gathered slabs is X^{-sum a_i s_i}."""
+    p = ctx.params
+    neg = (2 * p.N - np.asarray(a_2n, dtype=np.int64) % (2 * p.N)) % (2 * p.N)
+    rem = neg.T.copy()  # [n, B]
+    digs = []
+    for _ in range(p.d_r):
+        digs.append(rem % p.B_r)
+        rem //= p.B_r
+    out = np.stack(digs, axis=1)  # [n, d_r, B]
+    return out.reshape(p.n_lwe * p.d_r, -1).astype(np.int32)
 
 
 @lru_cache(maxsize=None)
@@ -380,9 +521,19 @@ def _bootstrap_core(ctx: BinFHEContext, bk: BootstrapKey,
     rows[:, 0, :] = c0
     rows[:, 1, :] = 0
     acc = from_int_array(rows)
-    rotate = _blind_rotate_fn(ctx)
+    return _run_blind_rotation(ctx, bk, acc, a_2n)
+
+
+def _run_blind_rotation(ctx: BinFHEContext, bk: BootstrapKey, acc: U64,
+                        a_2n: np.ndarray) -> U64:
+    """Dispatch on the accumulator method (reference: the ACCscheme
+    strategy object selected by BINFHE_METHOD)."""
+    N = ctx.params.N
+    if ctx.params.method == "AP":
+        dig = jnp.asarray(_dm_digit_tensor(ctx, a_2n))
+        return _blind_rotate_dm_fn(ctx)(acc, dig, bk.ek_lo, bk.ek_hi)
     a_dev = jnp.asarray((np.asarray(a_2n).T % (2 * N)).astype(np.int32))
-    return rotate(acc, a_dev, bk.ek_lo, bk.ek_hi)
+    return _blind_rotate_fn(ctx)(acc, a_dev, bk.ek_lo, bk.ek_hi)
 
 
 def _extract_and_keyswitch(ctx: BinFHEContext, bk: BootstrapKey,
@@ -580,9 +731,7 @@ def _bootstrap_core_tv(ctx, bk, a_2n, b_2n, tv):
     rows = np.zeros((batch, 2, N), dtype=object)
     rows[:, 0, :] = c0
     acc = from_int_array(rows)
-    rotate = _blind_rotate_fn(ctx)
-    a_dev = jnp.asarray((np.asarray(a_2n).T % (2 * N)).astype(np.int32))
-    return rotate(acc, a_dev, bk.ek_lo, bk.ek_hi)
+    return _run_blind_rotation(ctx, bk, acc, a_2n)
 
 
 def _extract_and_keyswitch_offset(ctx, bk, acc_coeff, offset: int):

@@ -82,3 +82,38 @@ def test_eval_sign(setup):
         ct = binfhe.encrypt_zp(ctx, sk, m, p, RNG)
         out = binfhe.eval_sign(ctx, bk, ct, p)
         assert binfhe.decrypt_zp(ctx, sk, out, p) == expected
+
+
+# ---------------------------------------------------------------------------
+# DM/AP accumulator (reference: rgsw-acc-dm.cpp) — same truth-table contract
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def setup_ap():
+    ctx = binfhe.gen_context("TOY_AP")
+    sk = binfhe.keygen(ctx, RNG)
+    bk = binfhe.bootstrap_keygen(ctx, sk, RNG)
+    return ctx, sk, bk
+
+
+@pytest.mark.parametrize("gate,table", [
+    ("AND", [0, 0, 0, 1]),
+    ("OR", [0, 1, 1, 1]),
+    ("XOR", [0, 1, 1, 0]),
+])
+def test_gate_truth_table_ap(setup_ap, gate, table):
+    ctx, sk, bk = setup_ap
+    combos = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    cts1 = [binfhe.encrypt(ctx, sk, m1, RNG) for m1, _ in combos]
+    cts2 = [binfhe.encrypt(ctx, sk, m2, RNG) for _, m2 in combos]
+    outs = binfhe.eval_gate_batch(ctx, gate, bk, cts1, cts2)
+    got = [binfhe.decrypt(ctx, sk, o) for o in outs]
+    assert got == table, f"{gate}: {got}"
+
+
+def test_bootstrap_refresh_ap(setup_ap):
+    ctx, sk, bk = setup_ap
+    for bit in (0, 1):
+        ct = binfhe.encrypt(ctx, sk, bit, RNG)
+        assert binfhe.decrypt(ctx, sk, binfhe.bootstrap(ctx, bk, ct)) == bit
