@@ -81,6 +81,14 @@ def std128_params() -> BinFHEParams:
                         log_bg=7, log_bks=5, sigma=3.19)
 
 
+def toy_lp_params() -> BinFHEParams:
+    """Toy set sized for the large-precision ops (EvalFloor/Sign/Decomp):
+    lower sigma and fewer keyswitch digits so the noise stays below the
+    q/4 chunk margin at N=256 (the reference's STD128+ sets achieve the
+    same margin with N >= 1024)."""
+    return dataclasses.replace(toy_params(), log_bks=7, sigma=1.0)
+
+
 def toy_ap_params() -> BinFHEParams:
     return dataclasses.replace(toy_params(), method="AP", log_br=3)
 
@@ -90,6 +98,7 @@ def std128_ap_params() -> BinFHEParams:
 
 
 PARAM_SETS = {"TOY": toy_params, "STD128": std128_params,
+              "TOY_LP": toy_lp_params,
               "TOY_AP": toy_ap_params, "STD128_AP": std128_ap_params}
 
 
@@ -704,13 +713,140 @@ def eval_sign(ctx: BinFHEContext, bk: BootstrapKey, ct: LWECiphertext,
     return eval_func(ctx, bk, ct, lut, p)
 
 
-def eval_floor(ctx, bk, ct, p):
-    """Reference: EvalFloor (large-precision digit stripping). Not yet
-    implemented — requires the multi-PBS digit pipeline; eval_func covers
-    single-digit LUTs today."""
-    raise NotImplementedError(
-        "multi-digit EvalFloor/EvalDecomp land with the large-precision "
-        "binfhe extension; use eval_func for single-digit LUTs")
+# ---------------------------------------------------------------------------
+# Large-precision pipeline: EvalFloor / large EvalSign / EvalDecomp
+# (reference: binfhe-base-scheme.cpp:316-354, 356-429, 431-483 — ciphertexts
+# at a large power-of-two modulus are processed in log2(2N)-bit chunks via
+# pairs of negacyclic phase-domain bootstraps)
+# ---------------------------------------------------------------------------
+
+
+def encrypt_phase(ctx: BinFHEContext, sk: BinFHESecret, value: int,
+                  modulus: int, rng: np.random.Generator) -> LWECiphertext:
+    """LWE encrypt a raw phase value at an arbitrary (power-of-two)
+    modulus — the input format of the large-precision ops."""
+    p = ctx.params
+    a = rng.integers(0, modulus, size=p.n_lwe, dtype=np.int64)
+    e = int(np.rint(rng.normal(0, p.sigma)))
+    b = (int(a @ sk.s_lwe) + e + value) % modulus
+    return LWECiphertext(a, b, modulus)
+
+
+def decrypt_phase(ctx: BinFHEContext, sk: BinFHESecret,
+                  ct: LWECiphertext) -> int:
+    return int((ct.b - int(ct.a @ sk.s_lwe)) % ct.modulus)
+
+
+def _bootstrap_phase_func(ctx: BinFHEContext, bk: BootstrapKey,
+                          ct: LWECiphertext, f, out_mod: int
+                          ) -> LWECiphertext:
+    """PBS computing f(phase mod 2N) at output modulus out_mod, where f is
+    negacyclic over [0, 2N): f(x + N) == -f(x) mod out_mod (reference:
+    BootstrapFunc's test-vector construction). ct.modulus must be a
+    multiple of 2N so truncation preserves the phase mod 2N."""
+    p = ctx.params
+    N, Q = p.N, p.Q
+    assert ct.modulus % (2 * N) == 0, "modulus must be a multiple of 2N"
+    for x in range(N):
+        assert (f(x) + f(x + N)) % out_mod == 0, "f must be negacyclic"
+    # tv_0 = f(0); tv_k = -f(N - k) for k in (0, N): then
+    # const(tv * X^phase) = f(phase) for all phase in [0, 2N).
+    tv = np.zeros(N, dtype=object)
+    tv[0] = f(0) * Q // out_mod % Q
+    for k in range(1, N):
+        tv[k] = (-(f(N - k) * Q // out_mod)) % Q
+    a_2n = np.asarray(ct.a, dtype=np.int64)[None, :] % (2 * N)
+    b_2n = np.asarray([ct.b % (2 * N)])
+    acc = _bootstrap_core_tv(ctx, bk, a_2n, b_2n, tv)
+    return _extract_and_keyswitch_offset(ctx, bk, acc, offset=0,
+                                         out_mod=out_mod)[0]
+
+
+def eval_floor(ctx: BinFHEContext, bk: BootstrapKey, ct: LWECiphertext,
+               beta: int) -> LWECiphertext:
+    """Clear the low log2(2N) bits of the phase (reference: EvalFloor,
+    binfhe-base-scheme.cpp:316-354): out ~ (m + beta) - ((m + beta) mod 2N)
+    at the same large modulus. beta bounds the accumulated noise."""
+    p = ctx.params
+    q = 2 * p.N  # the per-round chunk modulus (reference's q)
+    mod = ct.modulus
+    ct1 = LWECiphertext(ct.a.copy(), (ct.b + beta) % mod, mod)
+
+    # boot 1 (reference f1): +-q/4 depending on the half of (phase mod q)
+    def f1(x):
+        return (mod - (q >> 2)) if x < (q >> 1) else (q >> 2)
+
+    ct2 = _bootstrap_phase_func(ctx, bk, ct1, f1, mod)
+    ct1 = LWECiphertext((ct1.a - ct2.a) % mod, (ct1.b - ct2.b) % mod, mod)
+
+    # boot 2 (reference f2): identity on the centered range, reflections
+    # outside; subtracting it clears the low bits exactly
+    def f2(x):
+        if x < (q >> 2):
+            return (mod - (q >> 1) - x) % mod
+        if x < 3 * (q >> 2):
+            return x
+        return (mod + (q >> 1) - x) % mod
+
+    ct3 = _bootstrap_phase_func(ctx, bk, ct1, f2, mod)
+    return LWECiphertext((ct1.a - ct3.a) % mod, (ct1.b - ct3.b) % mod, mod)
+
+
+def _mod_switch_lwe(ct: LWECiphertext, new_mod: int) -> LWECiphertext:
+    """Rounding LWE modulus switch (reference: LWEEncryptionScheme::
+    ModSwitch, lwe-pke.cpp:39)."""
+    mod = ct.modulus
+    a = ((np.asarray(ct.a, np.int64) * new_mod * 2 + mod) // (2 * mod)) % new_mod
+    b = ((ct.b * new_mod * 2 + mod) // (2 * mod)) % new_mod
+    return LWECiphertext(a, int(b), new_mod)
+
+
+def eval_sign_large(ctx: BinFHEContext, bk: BootstrapKey,
+                    ct: LWECiphertext, beta: int) -> LWECiphertext:
+    """Large-precision sign (reference: EvalSign loop,
+    binfhe-base-scheme.cpp:356-429): floor away low chunks until the
+    modulus fits one PBS, then a final sign bootstrap. Returns an LWE at
+    modulus 2N encrypting 0 if phase < modulus/2 else 1 (at scale q/2)."""
+    p = ctx.params
+    q = 2 * p.N
+    mod = ct.modulus
+    cttmp = ct
+    while mod > q:
+        cttmp = eval_floor(ctx, bk, cttmp, beta)
+        mod = mod * 2 * beta // q
+        cttmp = _mod_switch_lwe(cttmp, mod)
+    if mod < q:  # scale up exactly (power-of-two factors)
+        factor = q // mod
+        cttmp = LWECiphertext((cttmp.a * factor) % q,
+                              (cttmp.b * factor) % q, q)
+    cttmp = LWECiphertext(cttmp.a, (cttmp.b + beta) % q, q)
+
+    def f3(x):
+        return (q >> 2) if x < (q >> 1) else (q - (q >> 2))
+
+    out = _bootstrap_phase_func(ctx, bk, cttmp, f3, q)
+    # phase is now +-q/4; shift to {q/2, 0} so decrypt_zp(..., p=2) reads it
+    return LWECiphertext((-out.a) % q, ((q >> 2) - out.b) % q, q)
+
+
+def eval_decomp(ctx: BinFHEContext, bk: BootstrapKey, ct: LWECiphertext,
+                beta: int) -> list:
+    """Digit decomposition of a large-precision phase (reference:
+    EvalDecomp, binfhe-base-scheme.cpp:431-483). Returns LWE ciphertexts
+    at modulus q = 2N: the first encrypts (phase mod q) directly; each
+    subsequent digit encrypts the floored carry scaled by 2*beta."""
+    p = ctx.params
+    q = 2 * p.N
+    mod = ct.modulus
+    cttmp = ct
+    out = []
+    while mod > q:
+        out.append(LWECiphertext(cttmp.a % q, cttmp.b % q, q))
+        cttmp = eval_floor(ctx, bk, cttmp, beta)
+        mod = mod * 2 * beta // q
+        cttmp = _mod_switch_lwe(cttmp, mod)
+    out.append(cttmp)
+    return out
 
 
 def _bootstrap_core_tv(ctx, bk, a_2n, b_2n, tv):
@@ -734,11 +870,16 @@ def _bootstrap_core_tv(ctx, bk, a_2n, b_2n, tv):
     return _run_blind_rotation(ctx, bk, acc, a_2n)
 
 
-def _extract_and_keyswitch_offset(ctx, bk, acc_coeff, offset: int):
+def _extract_and_keyswitch_offset(ctx, bk, acc_coeff, offset: int,
+                                  out_mod: int | None = None):
     """_extract_and_keyswitch with a configurable post-extract offset
-    (gate bootstrapping adds Q/8; LUT bootstrapping adds none)."""
+    (gate bootstrapping adds Q/8; LUT bootstrapping adds none) and output
+    modulus (<= q_ks; large-precision ops keep the big modulus)."""
     p = ctx.params
     N, Q, q_ks, q = p.N, p.Q, p.q_ks, p.q
+    if out_mod is not None:
+        assert out_mod <= q_ks, "output modulus cannot exceed q_ks"
+        q = out_mod
     lo = np.asarray(acc_coeff.lo).astype(np.int64)
     hi = np.asarray(acc_coeff.hi).astype(np.int64)
     vals = (hi << 32) | lo

@@ -117,3 +117,54 @@ def test_bootstrap_refresh_ap(setup_ap):
     for bit in (0, 1):
         ct = binfhe.encrypt(ctx, sk, bit, RNG)
         assert binfhe.decrypt(ctx, sk, binfhe.bootstrap(ctx, bk, ct)) == bit
+
+
+# ---------------------------------------------------------------------------
+# Large-precision EvalFloor / EvalSign / EvalDecomp
+# (reference: binfhe-base-scheme.cpp:316-483, UnitTestFunc contract)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def setup_lp():
+    ctx = binfhe.gen_context("TOY_LP")
+    sk = binfhe.keygen(ctx, RNG)
+    bk = binfhe.bootstrap_keygen(ctx, sk, RNG)
+    return ctx, sk, bk
+
+
+def test_eval_floor_clears_low_bits(setup_lp):
+    ctx, sk, bk = setup_lp
+    q = 2 * ctx.params.N
+    mod = ctx.params.q_ks
+    beta = 64
+    for v in (1000, 5000, 12345):
+        ct = binfhe.encrypt_phase(ctx, sk, v, mod, RNG)
+        out = binfhe.eval_floor(ctx, bk, ct, beta)
+        got = binfhe.decrypt_phase(ctx, sk, out)
+        want = ((v + beta) // q) * q
+        diff = min((got - want) % mod, (want - got) % mod)
+        assert diff < beta, (v, got, want)
+
+
+def test_eval_sign_large(setup_lp):
+    ctx, sk, bk = setup_lp
+    mod = ctx.params.q_ks
+    beta = 64
+    for v in (100, 7000, 9000, 16000):
+        ct = binfhe.encrypt_phase(ctx, sk, v, mod, RNG)
+        out = binfhe.eval_sign_large(ctx, bk, ct, beta)
+        assert binfhe.decrypt_zp(ctx, sk, out, 2) == int(v >= mod // 2), v
+
+
+def test_eval_decomp_first_digit(setup_lp):
+    ctx, sk, bk = setup_lp
+    q = 2 * ctx.params.N
+    mod = ctx.params.q_ks
+    v = 12345
+    ct = binfhe.encrypt_phase(ctx, sk, v, mod, RNG)
+    digs = binfhe.eval_decomp(ctx, bk, ct, beta=64)
+    assert len(digs) >= 2
+    d0 = binfhe.decrypt_phase(ctx, sk, digs[0])
+    diff = min((d0 - v % q) % q, (v % q - d0) % q)
+    assert diff < 16, (d0, v % q)
