@@ -140,28 +140,86 @@ def keygen(params: KSParams, s_from: RnsPoly, s_to: RnsPoly,
     (Reference role: KeySwitchHYBRID::KeySwitchGenInternal.)
     """
     basis = full_basis(params)
+    a_datas = []
+    for _ in range(params.dnum):
+        a_rows = sampling.uniform_rns_rows(params.n, basis.moduli, rng)
+        a_datas.append(rns_poly_from_rows(basis, a_rows, Format.EVAL).data)
+    return keygen_with_a(params, s_from, s_to, a_datas, rng, sigma,
+                         error_scale)
+
+
+def keygen_with_a(params: KSParams, s_from: RnsPoly, s_to: RnsPoly,
+                  a_datas, rng: np.random.Generator, sigma: float = 3.19,
+                  error_scale: int = 1) -> KSKey:
+    """keygen against caller-provided per-digit `a` components — the
+    common-randomness primitive of the interactive multiparty protocol
+    (reference: MultiKeySwitchGen, base-multiparty.cpp, which reuses the
+    a-vector of a prior party's eval key)."""
+    basis = full_basis(params)
     assert s_from.basis == basis and s_to.basis == basis
     n = params.n
     moduli = basis.moduli
     fac, fac_pre = _digit_factor_table(params)
     digit_b = _digit_b_fn(basis)
-    b_list, a_list = [], []
+    b_list = []
     for j in range(params.dnum):
-        a_rows = sampling.uniform_rns_rows(n, moduli, rng)
-        a = rns_poly_from_rows(basis, a_rows, Format.EVAL)
         e_rows = sampling.signed_to_rns_rows(
             sampling.gaussian_coeffs(n, rng, sigma) * error_scale, moduli)
         e_coeff = from_int_array(e_rows)
         fj = U64(fac.lo[j], fac.hi[j])
         fj_pre = U64(fac_pre.lo[j], fac_pre.hi[j])
-        b = digit_b(a.data, e_coeff, s_from.data, s_to.data, fj, fj_pre)
+        b = digit_b(a_datas[j], e_coeff, s_from.data, s_to.data, fj, fj_pre)
         b_list.append(b)
-        a_list.append(a.data)
     b_lo = jnp.stack([b.lo for b in b_list])
     b_hi = jnp.stack([b.hi for b in b_list])
-    a_lo = jnp.stack([a.lo for a in a_list])
-    a_hi = jnp.stack([a.hi for a in a_list])
+    a_lo = jnp.stack([a.lo for a in a_datas])
+    a_hi = jnp.stack([a.hi for a in a_datas])
     return KSKey(b_lo, b_hi, a_lo, a_hi, params)
+
+
+def key_a_datas(key: KSKey):
+    """The per-digit a components, for reuse by the next party."""
+    return [U64(key.a_lo[j], key.a_hi[j]) for j in range(key.params.dnum)]
+
+
+def add_keys_b(k1: KSKey, k2: KSKey) -> KSKey:
+    """Sum the b components of two keys sharing the same a
+    (reference: MultiAddEvalKeys)."""
+    basis = full_basis(k1.params)
+    b = add_mod(U64(k1.b_lo, k1.b_hi), U64(k2.b_lo, k2.b_hi), basis.mod.q)
+    return KSKey(b.lo, b.hi, k1.a_lo, k1.a_hi, k1.params)
+
+
+def add_keys_full(k1: KSKey, k2: KSKey) -> KSKey:
+    """Sum both components (reference: MultiAddEvalMultKeys)."""
+    basis = full_basis(k1.params)
+    b = add_mod(U64(k1.b_lo, k1.b_hi), U64(k2.b_lo, k2.b_hi), basis.mod.q)
+    a = add_mod(U64(k1.a_lo, k1.a_hi), U64(k2.a_lo, k2.a_hi), basis.mod.q)
+    return KSKey(b.lo, b.hi, a.lo, a.hi, k1.params)
+
+
+def scale_key_by_share(key: KSKey, s_share: RnsPoly,
+                       rng: np.random.Generator, sigma: float = 3.19
+                       ) -> KSKey:
+    """(s_i * b_j + e0, s_i * a_j + e1) per digit — one party's
+    contribution to the joint relinearization key
+    (reference: MultiMultEvalKey)."""
+    params = key.params
+    basis = full_basis(params)
+    assert s_share.basis == basis and s_share.fmt == Format.EVAL
+    n = params.n
+    moduli = basis.moduli
+
+    def noisy(x: U64) -> U64:
+        rows = np.stack([sampling.signed_to_rns_rows(
+            sampling.gaussian_coeffs(n, rng, sigma), moduli)
+            for _ in range(params.dnum)])
+        e = ntt_ops.forward(basis.plan, from_int_array(rows))
+        return add_mod(mul_mod(x, s_share.data, basis.mod), e, basis.mod.q)
+
+    b = noisy(U64(key.b_lo, key.b_hi))
+    a = noisy(U64(key.a_lo, key.a_hi))
+    return KSKey(b.lo, b.hi, a.lo, a.hi, params)
 
 
 @lru_cache(maxsize=None)

@@ -60,13 +60,11 @@ class BootstrapKeys:
     rot: Dict[int, keyswitch.KSKey]
 
 
-def setup(ctx: CKKSContext, slots: int, K: int = 16, r: int = 5,
-          cheb_deg: int = 28) -> BootstrapPrecomp:
-    """(role of EvalBootstrapSetup: builds linear-transform constants and
-    the sine approximation.)"""
-    n = ctx.n
-    s = slots
-    assert s <= n // 4 and n % (2 * s) == 0
+def stc_matrices(n: int, s: int):
+    """Numerically built CtS/StC constants for s sparse slots at ring dim
+    n: A maps slot values -> packed subring coeffs; (D, E) applied as
+    LT_D(u) + LT_E(conj(u)) yield a ciphertext whose coefficients at the
+    gap positions equal u's slot values. Shared with scheme switching."""
     gap = n // (2 * s)
     reps = n // (2 * s)
 
@@ -94,6 +92,17 @@ def setup(ctx: CKKSContext, slots: int, K: int = 16, r: int = 5,
         Mc2[:, j] = encoding.ckks_embed(c, n)[:s]
     D = (Mc1 - 1j * Mc2) / 2.0
     E = (Mc1 + 1j * Mc2) / 2.0
+    return A, D, E
+
+
+def setup(ctx: CKKSContext, slots: int, K: int = 16, r: int = 5,
+          cheb_deg: int = 28) -> BootstrapPrecomp:
+    """(role of EvalBootstrapSetup: builds linear-transform constants and
+    the sine approximation.)"""
+    n = ctx.n
+    s = slots
+    assert s <= n // 4 and n % (2 * s) == 0
+    A, D, E = stc_matrices(n, s)
 
     a_dom = (K + 1) / float(1 << r)
     cheb = adv.chebyshev_coefficients(

@@ -97,3 +97,87 @@ def combine(ctx: CKKSContext, ct: Ciphertext, partials: List[RnsPoly],
     coeffs = ckks.crt_interpolate_centered(rows, ct.basis.moduli)
     from .. import encoding
     return encoding.ckks_decode(coeffs, ctx.n, ct.scale, num_slots)
+
+
+# ---------------------------------------------------------------------------
+# Interactive joint evaluation keys (reference: threshold-fhe.cpp rounds;
+# base-multiparty.cpp MultiKeySwitchGen / MultiAddEvalKeys /
+# MultiMultEvalKey / MultiAddEvalMultKeys / MultiEvalAutomorphismKeyGen)
+# ---------------------------------------------------------------------------
+
+from .. import keyswitch  # noqa: E402
+
+
+def _share_poly_qp(ctx: CKKSContext, sk_i: SecretKey) -> RnsPoly:
+    return sk_i.poly(ctx.full_qp_basis)
+
+
+def evalmult_round1(ctx: CKKSContext, sk_i: SecretKey,
+                    rng: np.random.Generator,
+                    prev_key: keyswitch.KSKey | None = None
+                    ) -> keyswitch.KSKey:
+    """Party i's round-1 share: keyswitch key (s_i -> s_i) under common
+    randomness a (fresh for the lead, reused from the previous party
+    otherwise). Reference: KeySwitchGen + MultiKeySwitchGen."""
+    s_i = _share_poly_qp(ctx, sk_i)
+    if prev_key is None:
+        return keyswitch.keygen(ctx.ks_params, s_i, s_i, rng,
+                                ctx.params.sigma)
+    return keyswitch.keygen_with_a(ctx.ks_params, s_i, s_i,
+                                   keyswitch.key_a_datas(prev_key), rng,
+                                   ctx.params.sigma)
+
+
+def evalmult_accumulate_round1(shares: Sequence[keyswitch.KSKey]
+                               ) -> keyswitch.KSKey:
+    """Sum the b components: joint key encrypting s under s
+    (reference: MultiAddEvalKeys)."""
+    acc = shares[0]
+    for k in shares[1:]:
+        acc = keyswitch.add_keys_b(acc, k)
+    return acc
+
+
+def evalmult_round2(ctx: CKKSContext, sk_i: SecretKey,
+                    joint_ab: keyswitch.KSKey,
+                    rng: np.random.Generator) -> keyswitch.KSKey:
+    """Party i's round-2 share: s_i * joint_ab (+ fresh noise)
+    (reference: MultiMultEvalKey)."""
+    return keyswitch.scale_key_by_share(joint_ab, _share_poly_qp(ctx, sk_i),
+                                        rng, ctx.params.sigma)
+
+
+def evalmult_finalize(shares: Sequence[keyswitch.KSKey]) -> keyswitch.KSKey:
+    """Sum the round-2 shares into the joint relinearization key for
+    s^2 -> s (reference: MultiAddEvalMultKeys)."""
+    acc = shares[0]
+    for k in shares[1:]:
+        acc = keyswitch.add_keys_full(acc, k)
+    return acc
+
+
+def rot_keygen_share(ctx: CKKSContext, sk_i: SecretKey, rot: int,
+                     rng: np.random.Generator,
+                     prev_key: keyswitch.KSKey | None = None
+                     ) -> keyswitch.KSKey:
+    """Party i's share of a joint rotation key: b_i = -a s_i + e +
+    f * sigma_k(s_i); summing shares yields the joint automorphism key in
+    ONE round (reference: MultiEvalAutomorphismKeyGen)."""
+    qp = ctx.full_qp_basis
+    s_i = sk_i.poly(qp)
+    k = ckks.rotation_indices_to_galois(ctx.n, rot)
+    s_rot = dcrt.automorphism(s_i, k)
+    if prev_key is None:
+        return keyswitch.keygen(ctx.ks_params, s_i, s_rot, rng,
+                                ctx.params.sigma)
+    return keyswitch.keygen_with_a(ctx.ks_params, s_i, s_rot,
+                                   keyswitch.key_a_datas(prev_key), rng,
+                                   ctx.params.sigma)
+
+
+def rot_keygen_finalize(shares: Sequence[keyswitch.KSKey]
+                        ) -> keyswitch.KSKey:
+    acc = shares[0]
+    for k in shares[1:]:
+        acc = keyswitch.add_keys_b(acc, k)
+    return acc

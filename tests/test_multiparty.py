@@ -36,3 +36,50 @@ def test_three_party_encrypt_decrypt():
     ct2 = ckks.eval_add(ct, ct)
     out2 = ckks.decrypt(ctx, sk_joint, ct2, num_slots=8)
     assert np.max(np.abs(out2 - 2 * v)) < 1e-3
+
+
+def test_interactive_evalmult_and_rotation_keys():
+    """Joint relinearization key via the 2-round protocol, joint rotation
+    key via the 1-round protocol (reference: threshold-fhe.cpp flow,
+    MultiKeySwitchGen/MultiAddEvalKeys/MultiMultEvalKey/
+    MultiAddEvalMultKeys/MultiEvalAutomorphismKeyGen)."""
+    from openfhe_tpu.models import ckks
+    rng = np.random.default_rng(77)
+    params = ckks.CKKSParams(ring_dim=256, mult_depth=3,
+                             scaling_mod_size=40, first_mod_size=50, dnum=2)
+    ctx = ckks.gen_context(params)
+    pk1, sk1 = mp.keygen_lead(ctx, rng)
+    pk2, sk2 = mp.keygen_join(ctx, pk1, rng)
+    pk, sk3 = mp.keygen_join(ctx, pk2, rng)
+    shares = [sk1, sk2, sk3]
+
+    r1 = [mp.evalmult_round1(ctx, sk1, rng)]
+    r1.append(mp.evalmult_round1(ctx, sk2, rng, prev_key=r1[0]))
+    r1.append(mp.evalmult_round1(ctx, sk3, rng, prev_key=r1[0]))
+    joint_ab = mp.evalmult_accumulate_round1(r1)
+    evk = mp.evalmult_finalize(
+        [mp.evalmult_round2(ctx, s, joint_ab, rng) for s in shares])
+
+    rsh = [mp.rot_keygen_share(ctx, sk1, 1, rng)]
+    rsh.append(mp.rot_keygen_share(ctx, sk2, 1, rng, prev_key=rsh[0]))
+    rsh.append(mp.rot_keygen_share(ctx, sk3, 1, rng, prev_key=rsh[0]))
+    rot_key = mp.rot_keygen_finalize(rsh)
+
+    vals1 = np.array([0.5, -0.25, 1.0, 0.75])
+    vals2 = np.array([2.0, 4.0, -1.0, 0.5])
+    v1 = np.tile(vals1, ctx.params.num_slots // 4)
+    v2 = np.tile(vals2, ctx.params.num_slots // 4)
+    ct1 = ckks.encrypt(ctx, pk, v1, rng)
+    ct2 = ckks.encrypt(ctx, pk, v2, rng)
+    prod = ckks.eval_mult_relin(ct1, ct2, evk)
+    rot = ckks.eval_rotate(ct1, 1, rot_key)
+
+    parts = [mp.decrypt_lead(ctx, sk1, prod, rng)]
+    parts += [mp.decrypt_main(ctx, s, prod, rng) for s in (sk2, sk3)]
+    dec = mp.combine(ctx, prod, parts, num_slots=4)
+    assert np.max(np.abs(dec.real - vals1 * vals2)) < 1e-2
+
+    parts = [mp.decrypt_lead(ctx, sk1, rot, rng)]
+    parts += [mp.decrypt_main(ctx, s, rot, rng) for s in (sk2, sk3)]
+    decr = mp.combine(ctx, rot, parts, num_slots=4)
+    assert np.max(np.abs(decr.real - np.roll(v1, -1)[:4])) < 1e-2
