@@ -323,6 +323,95 @@ def eval_mult(ctx: BFVContext, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
                             for d in (d0, d1, d2)))
 
 
+# ---------------------------------------------------------------------------
+# BEHZ multiplication variant (reference: BFVrns with
+# MultiplicationTechnique BEHZ — FastBaseConvqToBskMontgomery /
+# FastRNSFloorq / FastBaseConvSK, dcrtpoly-impl.h:2069-2380). Exact
+# integer base conversions (Montgomery + Shenoy-Kumaresan) instead of
+# HPS's fixed-point fraction estimates.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _behz_msk(ctx: BFVContext) -> int:
+    """One extra NTT-friendly prime m_sk distinct from Q, R and P."""
+    used = set(ctx.q_moduli) | set(ctx.r_moduli) | set(ctx.p_moduli)
+    cursor = nbtheory.first_prime(59, 2 * ctx.n)
+    while cursor in used:
+        cursor = nbtheory.previous_prime(cursor, 2 * ctx.n)
+    return cursor
+
+
+@lru_cache(maxsize=None)
+def _mult_pipeline_behz(ctx: BFVContext):
+    """Jitted BEHZ EvalMult core: Q residues -> exact Bsk extension ->
+    tensor in Q+Bsk -> t/Q flooring in Bsk -> exact switch back to Q."""
+    qm = ctx.q_moduli
+    bm = ctx.r_moduli               # reuse the extension primes as B
+    m_sk = _behz_msk(ctx)
+    bsk = bm + (m_sk,)
+    full = qm + bsk
+    t = ctx.t
+    q_basis = ctx.basis()
+    full_basis = RnsBasis(ctx.n, full)
+    L, k1 = len(qm), len(bsk)
+
+    from ..ops.modular import add_mod, make_mod_consts, mul_mod, \
+        mul_mod_shoup, shoup_precon_int
+    from ..ops.limb import from_int_array as _fia
+    t_q = _fia(np.asarray([[t % q] for q in qm], dtype=object))
+    t_q_pre = _fia(np.asarray([[shoup_precon_int(t % q, q)] for q in qm],
+                              dtype=object))
+    t_b = _fia(np.asarray([[t % b] for b in bsk], dtype=object))
+    t_b_pre = _fia(np.asarray([[shoup_precon_int(t % b, b)] for b in bsk],
+                              dtype=object))
+    q_mod = make_mod_consts(qm, trailing_dims=1)
+    b_mod = make_mod_consts(bsk, trailing_dims=1)
+
+    def lift(x_eval: U64) -> U64:
+        """EVAL over Q -> EVAL over Q+Bsk (exact Montgomery mod-up)."""
+        x_coeff = ntt_ops.inverse(q_basis.plan, x_eval)
+        conv = rns.base_conv_q_to_bsk_montgomery(x_coeff, qm, bsk)
+        lo = jax.numpy.concatenate([x_coeff.lo, conv.lo], axis=0)
+        hi = jax.numpy.concatenate([x_coeff.hi, conv.hi], axis=0)
+        return ntt_ops.forward(full_basis.plan, U64(lo, hi))
+
+    def scale_back(y_eval: U64) -> U64:
+        """EVAL over Q+Bsk -> EVAL over Q: floor(t*Y/Q) via Bsk, exact
+        Shenoy-Kumaresan switch back."""
+        y_coeff = ntt_ops.inverse(full_basis.plan, y_eval)
+        y_q = U64(y_coeff.lo[:L], y_coeff.hi[:L])
+        y_b = U64(y_coeff.lo[L:], y_coeff.hi[L:])
+        ty_q = mul_mod_shoup(y_q, t_q, t_q_pre, q_mod.q)
+        ty_b = mul_mod_shoup(y_b, t_b, t_b_pre, b_mod.q)
+        fl = rns.rns_floor_q(ty_q, ty_b, qm, bsk)
+        out = rns.base_conv_sk(fl, bm, m_sk, qm)
+        return ntt_ops.forward(q_basis.plan, out)
+
+    @jax.jit
+    def fn(c10, c11, c20, c21):
+        l10, l11, l20, l21 = lift(c10), lift(c11), lift(c20), lift(c21)
+        fmod = full_basis.mod
+        d0 = mul_mod(l10, l20, fmod)
+        d1 = add_mod(mul_mod(l10, l21, fmod), mul_mod(l11, l20, fmod),
+                     fmod.q)
+        d2 = mul_mod(l11, l21, fmod)
+        return scale_back(d0), scale_back(d1), scale_back(d2)
+
+    return fn
+
+
+def eval_mult_behz(ctx: BFVContext, ct1: Ciphertext, ct2: Ciphertext
+                   ) -> Ciphertext:
+    assert len(ct1.polys) == 2 and len(ct2.polys) == 2
+    fn = _mult_pipeline_behz(ctx)
+    d0, d1, d2 = fn(ct1.polys[0].data, ct1.polys[1].data,
+                    ct2.polys[0].data, ct2.polys[1].data)
+    basis = ctx.basis()
+    return Ciphertext(tuple(dcrt.make_poly(basis, d, Format.EVAL)
+                            for d in (d0, d1, d2)))
+
+
 def relinearize(ct: Ciphertext, evk: keyswitch.KSKey) -> Ciphertext:
     assert len(ct.polys) == 3
     d0, d1 = keyswitch.apply(evk, ct.polys[2])

@@ -370,3 +370,148 @@ def exact_switch_basis(x: U64, from_moduli: tuple, to_moduli: tuple) -> U64:
         acc = term if acc is None else add_mod(acc, term, to_mod.q)
     vr = mul_mod_shoup(v2, rq_t, rq_p, to_mod.q)
     return sub_mod(acc, vr, to_mod.q)
+
+
+# ---------------------------------------------------------------------------
+# BEHZ (Bajard-Eynard-Hasan-Zucca) BFV multiplication machinery.
+# Reference: FastBaseConvqToBskMontgomery (dcrtpoly-impl.h:2069),
+# FastRNSFloorq, FastBaseConvSK (:2309). All conversions are exact integer
+# identities (Montgomery / Shenoy-Kumaresan corrections) — no floating
+# point — realized as the same Shoup-constant tower MACs as the HPS path.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _behz_mont_tables(q_moduli: tuple, bsk_moduli: tuple, m_tilde: int):
+    """Tables for the Montgomery base conversion Q -> Bsk."""
+    Q = 1
+    for q in q_moduli:
+        Q *= q
+    k = len(bsk_moduli)
+    mt_rep = [[m_tilde % q] for q in q_moduli]
+    mt, mt_pre = _const_table(mt_rep, (len(q_moduli), 1),
+                              [[q] for q in q_moduli])
+    # Q^{-1} mod m_tilde (scalar); the FastBConv overflow alpha < L is
+    # recovered EXACTLY (not just mod m_tilde) since L << m_tilde
+    neg_qinv_mt = pow(Q % m_tilde, -1, m_tilde)
+    q_modb = _const_table([[Q % b] for b in bsk_moduli], (k, 1),
+                          [[b] for b in bsk_moduli])
+    mt_inv_b = _const_table([[pow(m_tilde % b, -1, b)] for b in bsk_moduli],
+                            (k, 1), [[b] for b in bsk_moduli])
+    bsk_mod = make_mod_consts(bsk_moduli, trailing_dims=1)
+    return (mt, mt_pre), neg_qinv_mt, q_modb, mt_inv_b, bsk_mod
+
+
+def base_conv_q_to_bsk_montgomery(x: U64, q_moduli: tuple,
+                                  bsk_moduli: tuple,
+                                  m_tilde: int = 1 << 16) -> U64:
+    """Exact base conversion of x [L, n] over Q (representatives in
+    [0, Q)) to Bsk [k, n]: FastBConv of m_tilde*x, then a small Montgomery
+    reduction removes the alpha*Q overflow (reference:
+    FastBaseConvqToBskMontgomery, dcrtpoly-impl.h:2069)."""
+    q_moduli, bsk_moduli = tuple(q_moduli), tuple(bsk_moduli)
+    (mt, mt_pre), neg_qinv_mt, (qb, qb_pre), (mtib, mtib_pre), bsk_mod = \
+        _behz_mont_tables(q_moduli, bsk_moduli, m_tilde)
+    q_mod = make_mod_consts(q_moduli, trailing_dims=1)
+    xm = mul_mod_shoup(x, mt, mt_pre, q_mod.q)       # m_tilde * x mod Q
+    # FastBConv into Bsk and into {m_tilde} (one fused conversion)
+    ext = bsk_moduli + (m_tilde,)
+    conv = approx_switch_basis(xm, q_moduli, ext)    # [k+1, n]
+    k = len(bsk_moduli)
+    y_bsk = U64(conv.lo[:k], conv.hi[:k])
+    y_mt = U64(conv.lo[k:], conv.hi[k:])             # [1, n], < m_tilde
+    # alpha = y_mt * (-Q^{-1}) mod m_tilde ... value = alpha in [0, L)
+    mt_mod = make_mod_consts((m_tilde,), trailing_dims=1)
+    nq, nq_pre = _const_table([[neg_qinv_mt]], (1, 1), [[m_tilde]])
+    alpha = mul_mod_shoup(y_mt, nq, nq_pre, mt_mod.q)  # [1, n], exact < L
+    # out_j = (y_bsk_j - alpha * Q) * m_tilde^{-1} mod b_j
+    aq = mul_mod_shoup(U64(jnp.broadcast_to(alpha.lo, y_bsk.lo.shape),
+                           jnp.broadcast_to(alpha.hi, y_bsk.hi.shape)),
+                       qb, qb_pre, bsk_mod.q)
+    diff = sub_mod(y_bsk, aq, bsk_mod.q)
+    return mul_mod_shoup(diff, mtib, mtib_pre, bsk_mod.q)
+
+
+@lru_cache(maxsize=None)
+def _behz_floor_tables(q_moduli: tuple, bsk_moduli: tuple):
+    Q = 1
+    for q in q_moduli:
+        Q *= q
+    k = len(bsk_moduli)
+    qinv_b = _const_table([[pow(Q % b, -1, b)] for b in bsk_moduli],
+                          (k, 1), [[b] for b in bsk_moduli])
+    bsk_mod = make_mod_consts(bsk_moduli, trailing_dims=1)
+    return qinv_b, bsk_mod
+
+
+def rns_floor_q(tx_q: U64, tx_bsk: U64, q_moduli: tuple,
+                bsk_moduli: tuple) -> U64:
+    """floor(tx / Q) over Bsk, up to an additive alpha < L error
+    (reference: FastRNSFloorq): (tx_bsk - FastBConv(tx_q, Q->Bsk)) / Q."""
+    q_moduli, bsk_moduli = tuple(q_moduli), tuple(bsk_moduli)
+    (qinv, qinv_pre), bsk_mod = _behz_floor_tables(q_moduli, bsk_moduli)
+    conv = approx_switch_basis(tx_q, q_moduli, bsk_moduli)
+    diff = sub_mod(tx_bsk, conv, bsk_mod.q)
+    return mul_mod_shoup(diff, qinv, qinv_pre, bsk_mod.q)
+
+
+@lru_cache(maxsize=None)
+def _behz_sk_tables(b_moduli: tuple, m_sk: int, q_moduli: tuple):
+    Bprod = 1
+    for b in b_moduli:
+        Bprod *= b
+    binv_msk = pow(Bprod % m_sk, -1, m_sk)
+    bi, bi_pre = _const_table([[binv_msk]], (1, 1), [[m_sk]])
+    L = len(q_moduli)
+    b_q = _const_table([[Bprod % q] for q in q_moduli], (L, 1),
+                       [[q] for q in q_moduli])
+    q_mod = make_mod_consts(q_moduli, trailing_dims=1)
+    msk_mod = make_mod_consts((m_sk,), trailing_dims=1)
+    half = (m_sk - 1) // 2
+    return (bi, bi_pre), b_q, q_mod, msk_mod, half
+
+
+def base_conv_sk(y_bsk: U64, b_moduli: tuple, m_sk: int,
+                 q_moduli: tuple) -> U64:
+    """Exact Shenoy-Kumaresan conversion Bsk = B + {m_sk} -> Q (reference:
+    FastBaseConvSK, dcrtpoly-impl.h:2309): the extra residue mod m_sk
+    pins the FastBConv overflow alpha (centered, so slightly negative
+    values are handled)."""
+    b_moduli, q_moduli = tuple(b_moduli), tuple(q_moduli)
+    kb = len(b_moduli)
+    y_b = U64(y_bsk.lo[:kb], y_bsk.hi[:kb])
+    y_msk = U64(y_bsk.lo[kb:], y_bsk.hi[kb:])       # [1, n]
+    (bi, bi_pre), (bq, bq_pre), q_mod, msk_mod, half = _behz_sk_tables(
+        b_moduli, m_sk, q_moduli)
+    # alpha = (FastBConv(y_B, B->m_sk) - y_msk) * B^{-1} mod m_sk, centered
+    conv_msk = approx_switch_basis(y_b, b_moduli, (m_sk,))
+    d = sub_mod(conv_msk, y_msk, msk_mod.q)
+    alpha = mul_mod_shoup(d, bi, bi_pre, msk_mod.q)  # [1, n] in [0, m_sk)
+    # centered correction: alpha > m_sk/2 means negative
+    conv_q = approx_switch_basis(y_b, b_moduli, q_moduli)
+    a_b = U64(jnp.broadcast_to(alpha.lo, conv_q.lo.shape),
+              jnp.broadcast_to(alpha.hi, conv_q.hi.shape))
+    aB = mul_mod_shoup(a_b, bq, bq_pre, q_mod.q)     # alpha * B mod q_i
+    pos = sub_mod(conv_q, aB, q_mod.q)               # alpha as-is
+    # for the centered branch: alpha - m_sk (negative) ->
+    # out = conv - (alpha - m_sk) * B = pos + m_sk * B
+    mskB = _const_table(
+        [[(m_sk * _prod(b_moduli)) % q] for q in q_moduli],
+        (len(q_moduli), 1), None)[0]
+    neg = add_mod(pos, mskB, q_mod.q)
+    is_neg = alpha.lo > jnp.uint32(half) if m_sk < (1 << 32) else None
+    if is_neg is None:
+        a_val = alpha  # need 64-bit compare
+        is_neg = (a_val.hi > jnp.uint32(half >> 32)) | (
+            (a_val.hi == jnp.uint32(half >> 32))
+            & (a_val.lo > jnp.uint32(half & 0xFFFFFFFF)))
+    mask = jnp.broadcast_to(is_neg, pos.lo.shape)
+    return U64(jnp.where(mask, neg.lo, pos.lo),
+               jnp.where(mask, neg.hi, pos.hi))
+
+
+def _prod(vals):
+    out = 1
+    for v in vals:
+        out *= v
+    return out

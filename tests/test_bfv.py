@@ -83,3 +83,27 @@ def test_automorphism_exact(setup):
     out = bfv.decrypt(ctx, sk, bfv.eval_automorphism(ct, k, rk))
     perm = eval_perm(ctx.n, k)
     assert out == [v[perm[j]] for j in range(ctx.n)]
+
+
+def test_eval_mult_behz_matches_hps():
+    """BEHZ multiplication (FastBaseConvqToBskMontgomery / FastRNSFloorq /
+    FastBaseConvSK, dcrtpoly-impl.h:2069-2380) decrypts to the same slot
+    products as the HPS pipeline."""
+    from openfhe_tpu.models import bfv
+    rng = np.random.default_rng(55)
+    params = bfv.BFVParams(ring_dim=128, plaintext_modulus=3329,
+                           num_towers=2, mod_size=50, dnum=2)
+    ctx = bfv.gen_context(params)
+    pk, sk = bfv.keygen(ctx, rng)
+    evk = bfv.relin_keygen(ctx, sk, rng)
+    v1 = [int(x) for x in rng.integers(0, 3329, 8)] + [0] * (ctx.n - 8)
+    v2 = [int(x) for x in rng.integers(0, 3329, 8)] + [0] * (ctx.n - 8)
+    ct1 = bfv.encrypt(ctx, pk, v1, rng)
+    ct2 = bfv.encrypt(ctx, pk, v2, rng)
+    want = [(a * b) % 3329 for a, b in zip(v1[:8], v2[:8])]
+    hps = bfv.decrypt(
+        ctx, sk, bfv.relinearize(bfv.eval_mult(ctx, ct1, ct2), evk))[:8]
+    behz = bfv.decrypt(
+        ctx, sk, bfv.relinearize(bfv.eval_mult_behz(ctx, ct1, ct2), evk))[:8]
+    assert hps == want
+    assert behz == want
