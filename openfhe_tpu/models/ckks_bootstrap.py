@@ -233,3 +233,54 @@ def eval_bootstrap(ctx: CKKSContext, keys: BootstrapKeys,
     # slots of out_d + out_e read the original message m directly (the
     # q0/(2*pi*sigma) recovery factor is folded into the StC diagonals)
     return ckks.eval_add(out_d, out_e)
+
+
+# ---------------------------------------------------------------------------
+# Iterative (multi-precision) bootstrapping
+# (reference: FHECKKSRNS::EvalBootstrap with numIterations=2,
+# ckksrns-fhe.cpp:238-310): bootstrap once, extract the bootstrapping
+# error at 2^precision amplification, bootstrap the error, subtract —
+# the final error shrinks by ~2^precision.
+# ---------------------------------------------------------------------------
+
+
+def _mult_by_int(ctx: CKKSContext, ct: Ciphertext, k: int) -> Ciphertext:
+    """Exact integer multiply (reference: MultByIntegerInPlace) — values
+    scale by k, the scale metadata is unchanged."""
+    basis = ct.polys[0].basis
+    consts = tuple(k % q for q in basis.moduli)
+    return Ciphertext(tuple(dcrt.mul_tower_const(p, consts)
+                            for p in ct.polys), ct.scale)
+
+
+def _normalize_scale(ctx: CKKSContext, ct: Ciphertext,
+                     target_scale: float) -> Ciphertext:
+    """Bring ct to exactly target_scale with one mult-by-one + rescale."""
+    T = ct.towers
+    tau = target_scale * ctx.q_moduli[T - 1] / ct.scale
+    out = ckks.rescale(adv.mult_const(ctx, ct, 1.0, tau))
+    return Ciphertext(out.polys, target_scale)
+
+
+def eval_bootstrap_iterative(ctx: CKKSContext, keys: BootstrapKeys,
+                             pre: BootstrapPrecomp, ct: Ciphertext,
+                             precision: int = 4) -> Ciphertext:
+    """Two-iteration bootstrap: output error ~2^-precision of the single
+    pass (reference: EvalBootstrap numIterations=2 flow)."""
+    k = 1 << precision
+    # pass 1
+    ct1 = eval_bootstrap(ctx, keys, pre, ct)
+    ct1 = _normalize_scale(ctx, ct1, ct.scale)
+    ct1s = _mult_by_int(ctx, ct1, k)
+    # the amplified bootstrap error: 2^prec * (boot(m) - m), at 1 tower
+    down = ckks.level_reduce(ct1s, ct1s.towers - ct.towers)
+    err = ckks.eval_sub(down, _mult_by_int(ctx, ct, k))
+    # pass 2: bootstrap the error and cancel it
+    err_boot = eval_bootstrap(ctx, keys, pre, err)
+    err_boot = _normalize_scale(ctx, err_boot, ct.scale)
+    towers = min(ct1s.towers, err_boot.towers)
+    ct1s = ckks.level_reduce(ct1s, ct1s.towers - towers)
+    err_boot = ckks.level_reduce(err_boot, err_boot.towers - towers)
+    final = ckks.eval_sub(ct1s, err_boot)
+    # divide the message by 2^precision via the scale metadata (exact)
+    return Ciphertext(final.polys, final.scale * k)
