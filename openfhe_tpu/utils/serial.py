@@ -100,6 +100,21 @@ def save(obj: Any, path: str) -> None:
                                "plaintext_correction": p.plaintext_correction})
         for name in ("b_lo", "b_hi", "a_lo", "a_hi"):
             arrays[name] = np.asarray(getattr(obj, name))
+    elif t == "BinFHEContext":
+        meta.update(kind="binfhe_context",
+                    params=dataclasses.asdict(obj.params))
+    elif t == "LWECiphertext":
+        meta.update(kind="lwe_ciphertext", b=int(obj.b),
+                    modulus=int(obj.modulus))
+        arrays["a"] = np.asarray(obj.a, dtype=np.int64)
+    elif t == "BinFHESecret":
+        meta.update(kind="binfhe_secret")
+        arrays["s_lwe"] = np.asarray(obj.s_lwe, dtype=np.int64)
+        arrays["z_ring"] = np.asarray(obj.z_ring, dtype=np.int64)
+    elif t == "BootstrapKey":
+        meta.update(kind="binfhe_bootstrap_key")
+        for name in ("ek_lo", "ek_hi", "ks_a", "ks_b"):
+            arrays[name] = np.asarray(getattr(obj, name))
     else:
         raise TypeError(f"don't know how to serialize {mod}.{t}")
 
@@ -158,4 +173,20 @@ def load(path: str) -> Any:
             kp.get("plaintext_correction", 1))
         return keyswitch.KSKey(arrays["b_lo"], arrays["b_hi"],
                                arrays["a_lo"], arrays["a_hi"], params)
+    if kind == "binfhe_context":
+        from ..models import binfhe
+        return binfhe.BinFHEContext(binfhe.BinFHEParams(**meta["params"]))
+    if kind == "lwe_ciphertext":
+        from ..models import binfhe
+        return binfhe.LWECiphertext(arrays["a"], meta["b"], meta["modulus"])
+    if kind == "binfhe_secret":
+        from ..models import binfhe
+        return binfhe.BinFHESecret(arrays["s_lwe"], arrays["z_ring"])
+    if kind == "binfhe_bootstrap_key":
+        from ..models import binfhe
+        import jax.numpy as jnp
+        return binfhe.BootstrapKey(jnp.asarray(arrays["ek_lo"]),
+                                   jnp.asarray(arrays["ek_hi"]),
+                                   jnp.asarray(arrays["ks_a"]),
+                                   jnp.asarray(arrays["ks_b"]))
     raise TypeError(f"unknown serialized kind {kind}")

@@ -51,3 +51,35 @@ def test_bgv_roundtrip(tmp_path):
     sk2 = serial.load(tmp_path / "sk.npz")
     ct2 = serial.load(tmp_path / "ct.npz")
     assert bgv.decrypt(ctx2, sk2, ct2) == v
+
+
+def test_binfhe_roundtrip(tmp_path):
+    """BINFHE context / secret / LWE ct / bootstrap key serialization
+    (role of binfhecontext-ser.h + lwe/rgsw *-ser headers)."""
+    import numpy as np
+    from openfhe_tpu.models import binfhe
+    from openfhe_tpu.utils import serial
+    rng = np.random.default_rng(5)
+    ctx = binfhe.gen_context("TOY")
+    sk = binfhe.keygen(ctx, rng)
+    ct = binfhe.encrypt(ctx, sk, 1, rng)
+
+    p = tmp_path / "ctx.npz"
+    serial.save(ctx, str(p)); ctx2 = serial.load(str(p))
+    assert ctx2.params == ctx.params
+
+    p = tmp_path / "sk.npz"
+    serial.save(sk, str(p)); sk2 = serial.load(str(p))
+    assert np.array_equal(sk2.s_lwe, sk.s_lwe)
+    assert np.array_equal(sk2.z_ring, sk.z_ring)
+
+    p = tmp_path / "ct.npz"
+    serial.save(ct, str(p)); ct2 = serial.load(str(p))
+    assert binfhe.decrypt(ctx2, sk2, ct2) == 1
+
+    bk = binfhe.bootstrap_keygen(ctx, sk, rng)
+    p = tmp_path / "bk.npz"
+    serial.save(bk, str(p)); bk2 = serial.load(str(p))
+    out = binfhe.eval_gate(ctx, "AND", bk2, ct,
+                           binfhe.encrypt(ctx, sk, 1, rng))
+    assert binfhe.decrypt(ctx, sk, out) == 1
