@@ -93,13 +93,18 @@ def toy_ap_params() -> BinFHEParams:
     return dataclasses.replace(toy_params(), method="AP", log_br=3)
 
 
+def toy_lmk_params() -> BinFHEParams:
+    return dataclasses.replace(toy_params(), method="LMKCDEY")
+
+
 def std128_ap_params() -> BinFHEParams:
     return dataclasses.replace(std128_params(), method="AP", log_br=5)
 
 
 PARAM_SETS = {"TOY": toy_params, "STD128": std128_params,
               "TOY_LP": toy_lp_params,
-              "TOY_AP": toy_ap_params, "STD128_AP": std128_ap_params}
+              "TOY_AP": toy_ap_params, "STD128_AP": std128_ap_params,
+              "TOY_LMKCDEY": toy_lmk_params}
 
 
 class LWECiphertext(NamedTuple):
@@ -250,6 +255,8 @@ def bootstrap_keygen(ctx: BinFHEContext, sk: BinFHESecret,
     dispatches on the method like the reference's BINFHE_METHOD)."""
     if ctx.params.method == "AP":
         return _bootstrap_keygen_dm(ctx, sk, rng)
+    if ctx.params.method == "LMKCDEY":
+        return bootstrap_keygen_lmkcdey(ctx, sk, rng)
     assert ctx.params.method == "GINX", ctx.params.method
     return _bootstrap_keygen_cggi(ctx, sk, rng)
 
@@ -515,6 +522,8 @@ def _bootstrap_core(ctx: BinFHEContext, bk: BootstrapKey,
     N, Q = p.N, p.Q
     from ..ops.limb import from_int_array
 
+    if p.method == "LMKCDEY":
+        return _bootstrap_core_lmk(ctx, bk, a_2n, b_2n)
     tv = _test_vector(ctx)
     batch = len(b_2n)
     c0 = np.zeros((batch, N), dtype=object)
@@ -854,6 +863,8 @@ def _bootstrap_core_tv(ctx, bk, a_2n, b_2n, tv):
     p = ctx.params
     N, Q = p.N, p.Q
     from ..ops.limb import from_int_array
+    if p.method == "LMKCDEY":
+        return _bootstrap_core_lmk(ctx, bk, a_2n, b_2n, tv)
     batch = len(b_2n)
     c0 = np.zeros((batch, N), dtype=object)
     for bi in range(batch):
@@ -908,3 +919,312 @@ def _extract_and_keyswitch_offset(ctx, bk, acc_coeff, offset: int,
     b2 = (b_out * q * 2 + q_ks) // (2 * q_ks) % q
     a2 = ((a_out * q * 2 + q_ks) // (2 * q_ks)) % q
     return [LWECiphertext(a2[i], int(b2[i]), q) for i in range(batch)]
+
+
+# ---------------------------------------------------------------------------
+# LMKCDEY blind rotation (reference: rgsw-acc-lmkcdey.cpp, eprint 2022/198):
+# n RGSW(X^{s_i}) keys + automorphism keys; rotation exponents are walked
+# via the sigma_{5^k} orbit instead of per-index monomial keys.
+#
+# TPU realization: the reference's data-dependent permuteMap loop becomes a
+# host-built FIXED schedule (op, key-index) per ciphertext, executed by one
+# lax.scan whose step lax.switches between {external product, automorphism
+# by g, automorphism by -g, no-op}. numAutoKeys is fixed at 1 (an
+# automorphism after every exponent class), so the schedule length is
+# static: 2*(N/2 - 1) + 1 autos + n externals.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class LMKCDEYKey:
+    ek_lo: jax.Array      # [n, 2dg, 2, N] RGSW(X^{s_i})
+    ek_hi: jax.Array
+    ak_lo: jax.Array      # [2, dg, 2, N]: 0 = sigma_g, 1 = sigma_{M-g}
+    ak_hi: jax.Array
+    ks_a: jax.Array       # LWE keyswitch (shared structure)
+    ks_b: jax.Array
+
+
+_LMK_GEN = 5
+
+
+def _auto_perm_sign(N: int, t: int):
+    """Coefficient-domain automorphism X^j -> X^{j t mod 2N}: returns
+    (dst index [N], sign [N]) so out[dst[j]] = sign[j] * in[j]."""
+    dst = np.zeros(N, dtype=np.int64)
+    sgn = np.zeros(N, dtype=np.int64)
+    for j in range(N):
+        e = (j * t) % (2 * N)
+        if e < N:
+            dst[j], sgn[j] = e, 1
+        else:
+            dst[j], sgn[j] = e - N, -1
+    return dst, sgn
+
+
+def _apply_auto_np_free(rows: np.ndarray, t: int, Q: int) -> np.ndarray:
+    """Host automorphism of object-int coeff rows [R, N] (for the free
+    initial step where c1 = 0)."""
+    R, N = rows.shape
+    dst, sgn = _auto_perm_sign(N, t)
+    out = np.zeros_like(rows)
+    for j in range(N):
+        if sgn[j] == 1:
+            out[:, dst[j]] = rows[:, j]
+        else:
+            out[:, dst[j]] = (Q - rows[:, j]) % Q
+    return out
+
+
+def _lmk_dlog_table(N: int):
+    """dlog base 5 over the odd residues of Z_2N: class +k for 5^k,
+    -k for -5^k (k in [0, N/2)); returned as a dict."""
+    M = 2 * N
+    table = {}
+    pw = 1
+    for k in range(N // 2):
+        table[pw] = k
+        table[M - pw] = -k if k > 0 else M  # -1 gets the sentinel M
+        pw = pw * _LMK_GEN % M
+    return table
+
+
+def bootstrap_keygen_lmkcdey(ctx: BinFHEContext, sk: BinFHESecret,
+                             rng: np.random.Generator) -> LMKCDEYKey:
+    """(role of RingGSWAccumulatorLMKCDEY::KeyGenAcc + KeyGenAuto.)"""
+    p = ctx.params
+    N, Q, n, dg = p.N, p.Q, p.n_lwe, p.dg
+    M = 2 * N
+    plan = ctx.plan
+    from ..ops.limb import from_int_array
+
+    z_rows = sampling.signed_to_rns_rows(sk.z_ring, (Q,))
+    z_eval = ntt_ops.forward_jit(plan, from_int_array(z_rows))  # [1, N]
+    z_flat = U64(z_eval.lo[0], z_eval.hi[0])
+
+    # --- ek_i = RGSW(X^{s_i mod 2N}) (the DM slab construction at v=s_i)
+    mono = _monomial_eval_np(ctx)
+    c = (sk.s_lwe.astype(np.int64)) % M                    # [n]
+    xc = mono[c]                                           # [n, N] int64
+    powers = np.array([(1 << (p.log_bg * d)) % Q for d in range(dg)],
+                      np.int64)
+    first_np = (xc[:, None, :] * powers[None, :, None]) % Q   # [n, dg, N]
+    first = from_int_array(first_np.astype(np.uint64))
+    zb = U64(jnp.broadcast_to(z_flat.lo, (n, dg, N)),
+             jnp.broadcast_to(z_flat.hi, (n, dg, N)))
+    second = mul_mod(first, zb, _scalar_mod(ctx))
+    msgs = U64(jnp.concatenate([first.lo, second.lo], axis=1),
+               jnp.concatenate([first.hi, second.hi], axis=1))
+    c0, c1 = _rlwe_encrypt_batch(ctx, z_eval, msgs, (n, 2 * dg), rng)
+    ek_lo = jnp.stack([c0.lo, c1.lo], axis=2)              # [n, 2dg, 2, N]
+    ek_hi = jnp.stack([c0.hi, c1.hi], axis=2)
+
+    # --- automorphism keys for t in {g, M-g}: rows d encrypt
+    # Bg^d * sigma_t(z): kc0 + kc1 * z = Bg^d sigma_t(z) + e
+    ak_lo_list, ak_hi_list = [], []
+    for t in (_LMK_GEN, M - _LMK_GEN):
+        z_rows_t = _apply_auto_np_free(
+            np.asarray(sampling.signed_to_rns_rows(sk.z_ring, (Q,)),
+                       dtype=object), t, Q)
+        zt_eval = ntt_ops.forward_jit(plan, from_int_array(z_rows_t))
+        zt = U64(zt_eval.lo[0], zt_eval.hi[0])
+        msg_np = np.zeros((dg, N), dtype=object)
+        for d in range(dg):
+            msg_np[d, :] = int(powers[d])
+        mfac = from_int_array(msg_np)
+        ztb = U64(jnp.broadcast_to(zt.lo, (dg, N)),
+                  jnp.broadcast_to(zt.hi, (dg, N)))
+        msgs_t = mul_mod(mfac, ztb, _scalar_mod(ctx))      # [dg, N]
+        kc0, kc1 = _rlwe_encrypt_batch(ctx, z_eval, msgs_t, (dg,), rng)
+        ak_lo_list.append(jnp.stack([kc0.lo, kc1.lo], axis=1))  # [dg, 2, N]
+        ak_hi_list.append(jnp.stack([kc0.hi, kc1.hi], axis=1))
+    ak_lo = jnp.stack(ak_lo_list)                          # [2, dg, 2, N]
+    ak_hi = jnp.stack(ak_hi_list)
+
+    ks_a, ks_b = _keyswitch_keygen(ctx, sk, rng)
+    return LMKCDEYKey(ek_lo, ek_hi, ak_lo, ak_hi, ks_a, ks_b)
+
+
+def _lmk_schedule(ctx: BinFHEContext, a_vec: np.ndarray):
+    """Host-built fixed schedule for one ciphertext: ops [T] (0 = ext,
+    1 = auto g, 2 = auto M-g, 3 = noop), idx [T] (ek row for ext steps).
+    Mirrors the reference's EvalAcc control flow with numAutoKeys = 1."""
+    p = ctx.params
+    N = p.N
+    M = 2 * N
+    Nh = N // 2
+    dlog = _lmk_dlog_table(N)
+    neg, pos, cls0, clsM = {}, {}, [], []
+    for i, a in enumerate(np.asarray(a_vec, dtype=np.int64) % M):
+        w = int((M - a) % M) | 1
+        k = dlog[w]
+        if k == M:
+            clsM.append(i)
+        elif k == 0:
+            cls0.append(i)
+        elif k > 0:
+            pos.setdefault(k, []).append(i)
+        else:
+            neg.setdefault(-k, []).append(i)
+    ops, idx = [], []
+
+    def ext(lst):
+        for j in lst:
+            ops.append(0)
+            idx.append(j)
+
+    for i in range(Nh - 1, 0, -1):
+        ext(neg.get(i, []))
+        ops.append(1)
+        idx.append(0)
+    ext(clsM)
+    ops.append(2)
+    idx.append(0)
+    for i in range(Nh - 1, 0, -1):
+        ext(pos.get(i, []))
+        ops.append(1)
+        idx.append(0)
+    ext(cls0)
+    # pad to the static length T = 2*(Nh-1) + 1 + n
+    T = 2 * (Nh - 1) + 1 + p.n_lwe
+    while len(ops) < T:
+        ops.append(3)
+        idx.append(0)
+    assert len(ops) == T
+    return np.asarray(ops, np.int32), np.asarray(idx, np.int32)
+
+
+@lru_cache(maxsize=None)
+def _blind_rotate_lmk_fn(ctx: BinFHEContext):
+    """Jitted fixed-schedule LMKCDEY scan (batch = 1 ciphertext: the
+    schedule is data-dependent per gate, unlike CGGI/DM)."""
+    p = ctx.params
+    N, Q, dg, logB = p.N, p.Q, p.dg, p.log_bg
+    M = 2 * N
+    plan = ctx.plan
+    mod = _scalar_mod(ctx)
+    signed_decompose = _make_signed_decompose(p)
+    half_Q = Q // 2
+    B = 1 << logB
+    halfB = B // 2
+
+    perms = []
+    for t in (_LMK_GEN, M - _LMK_GEN):
+        dst, sgn = _auto_perm_sign(N, t)
+        # inverse map: out[j] = sign_src[j] * in[src[j]]
+        src = np.zeros(N, dtype=np.int32)
+        ssn = np.zeros(N, dtype=np.int32)
+        for j in range(N):
+            src[dst[j]] = j
+            ssn[dst[j]] = sgn[j]
+        perms.append((jnp.asarray(src), jnp.asarray(ssn)))
+
+    def permute(x: U64, which: int):
+        src, ssn = perms[which]
+        lo = x.lo[..., src]
+        neg = (jnp.uint32(Q) - lo) % jnp.uint32(Q)
+        lo = jnp.where(ssn < 0, neg, lo)
+        return U64(lo, jnp.zeros_like(lo))
+
+    def digits1(x_lo):
+        """Signed base-B digits of one coeff row [N] -> [dg, N] mod Q."""
+        signed = jnp.where(x_lo > jnp.uint32(half_Q),
+                           x_lo.astype(jnp.int32) - jnp.int32(Q),
+                           x_lo.astype(jnp.int32))
+        ds = []
+        for _ in range(dg):
+            r = ((signed + halfB) & (B - 1)) - halfB
+            signed = (signed - r) >> logB
+            ds.append(r)
+        d = jnp.stack(ds)
+        lo = jnp.where(d < 0, (d + Q).astype(jnp.uint32), d.astype(jnp.uint32))
+        return U64(lo, jnp.zeros_like(lo))
+
+    def ext_step(acc_coeff: U64, j, ek_lo, ek_hi):
+        accb = U64(acc_coeff.lo[None], acc_coeff.hi[None])   # [1, 2, N]
+        digs = signed_decompose(accb)                        # [1, 2dg, N]
+        dct = _ntt_nd(plan, digs)
+        key = U64(jnp.take(ek_lo, j, axis=0),
+                  jnp.take(ek_hi, j, axis=0))                # [2dg, 2, N]
+        dx = U64(dct.lo[0][:, None, :], dct.hi[0][:, None, :])
+        prod = mul_mod(dx, key, mod)                         # [2dg, 2, N]
+        acc_ext = None
+        for r in range(2 * dg):
+            term = U64(prod.lo[r], prod.hi[r])
+            acc_ext = term if acc_ext is None else \
+                add_mod(acc_ext, term, mod.q)
+        out = _intt_nd(plan, acc_ext)                        # [2, N]
+        return out
+
+    def auto_step(acc_coeff: U64, which: int, ak_lo, ak_hi):
+        # permute both rows; keyswitch the c1 row back under z
+        pc = permute(acc_coeff, which)                       # [2, N]
+        c0p = U64(pc.lo[0], pc.hi[0])
+        c1p_lo = pc.lo[1]
+        digs = digits1(c1p_lo)                               # [dg, N]
+        dct = _ntt_nd(plan, digs)
+        key = U64(ak_lo[which], ak_hi[which])                # [dg, 2, N]
+        prod = mul_mod(U64(dct.lo[:, None, :], dct.hi[:, None, :]),
+                       key, mod)                             # [dg, 2, N]
+        acc_ks = None
+        for r in range(dg):
+            term = U64(prod.lo[r], prod.hi[r])
+            acc_ks = term if acc_ks is None else \
+                add_mod(acc_ks, term, mod.q)
+        ks = _intt_nd(plan, acc_ks)                          # [2, N] coeff
+        new_c0 = add_mod(c0p, U64(ks.lo[0], ks.hi[0]), mod.q)
+        new_c1 = U64(ks.lo[1], ks.hi[1])
+        return U64(jnp.stack([new_c0.lo, new_c1.lo]),
+                   jnp.stack([new_c0.hi, new_c1.hi]))
+
+    @jax.jit
+    def rotate(acc_init: U64, ops, idx, ek_lo, ek_hi, ak_lo, ak_hi):
+        # acc_init [2, N] coeff
+        def step(acc, inputs):
+            op, j = inputs
+            acc = jax.lax.switch(
+                op,
+                [lambda a: ext_step(a, j, ek_lo, ek_hi),
+                 lambda a: auto_step(a, 0, ak_lo, ak_hi),
+                 lambda a: auto_step(a, 1, ak_lo, ak_hi),
+                 lambda a: a],
+                acc)
+            return acc, None
+        final, _ = jax.lax.scan(step, acc_init, (ops, idx))
+        return final
+
+    return rotate
+
+
+def _bootstrap_core_lmk(ctx: BinFHEContext, bk: LMKCDEYKey,
+                        a_2n: np.ndarray, b_2n: np.ndarray,
+                        tv: np.ndarray | None = None) -> U64:
+    """Blind-rotate via the automorphism orbit; returns acc [B, 2, N]."""
+    p = ctx.params
+    N, Q = p.N, p.Q
+    from ..ops.limb import from_int_array
+    if tv is None:
+        tv = _test_vector(ctx)
+    batch = len(b_2n)
+    outs_lo, outs_hi = [], []
+    rotate = _blind_rotate_lmk_fn(ctx)
+    for bi in range(batch):
+        c0 = np.zeros(N, dtype=object)
+        shift = int(b_2n[bi]) % (2 * N)
+        for j in range(N):
+            e = (j + shift) % (2 * N)
+            if e < N:
+                c0[e] = (c0[e] + tv[j]) % Q
+            else:
+                c0[e - N] = (c0[e - N] - tv[j]) % Q
+        rows = np.zeros((2, N), dtype=object)
+        rows[0, :] = c0
+        # free initial automorphism by M - g (c1 = 0)
+        rows = _apply_auto_np_free(rows, 2 * N - _LMK_GEN, Q)
+        acc = from_int_array(rows)
+        ops, idx = _lmk_schedule(ctx, np.asarray(a_2n)[bi])
+        out = rotate(acc, jnp.asarray(ops), jnp.asarray(idx),
+                     bk.ek_lo, bk.ek_hi, bk.ak_lo, bk.ak_hi)
+        outs_lo.append(out.lo)
+        outs_hi.append(out.hi)
+    return U64(jnp.stack(outs_lo), jnp.stack(outs_hi))

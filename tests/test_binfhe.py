@@ -168,3 +168,39 @@ def test_eval_decomp_first_digit(setup_lp):
     d0 = binfhe.decrypt_phase(ctx, sk, digs[0])
     diff = min((d0 - v % q) % q, (v % q - d0) % q)
     assert diff < 16, (d0, v % q)
+
+
+# ---------------------------------------------------------------------------
+# LMKCDEY accumulator (reference: rgsw-acc-lmkcdey.cpp) — automorphism-orbit
+# blind rotation, same truth-table contract
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def setup_lmk():
+    ctx = binfhe.gen_context("TOY_LMKCDEY")
+    sk = binfhe.keygen(ctx, RNG)
+    bk = binfhe.bootstrap_keygen(ctx, sk, RNG)
+    return ctx, sk, bk
+
+
+@pytest.mark.parametrize("gate,table", [
+    ("AND", [0, 0, 0, 1]),
+    ("OR", [0, 1, 1, 1]),
+    ("XOR", [0, 1, 1, 0]),
+])
+def test_gate_truth_table_lmkcdey(setup_lmk, gate, table):
+    ctx, sk, bk = setup_lmk
+    combos = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    cts1 = [binfhe.encrypt(ctx, sk, m1, RNG) for m1, _ in combos]
+    cts2 = [binfhe.encrypt(ctx, sk, m2, RNG) for _, m2 in combos]
+    outs = binfhe.eval_gate_batch(ctx, gate, bk, cts1, cts2)
+    got = [binfhe.decrypt(ctx, sk, o) for o in outs]
+    assert got == table, f"{gate}: {got}"
+
+
+def test_bootstrap_refresh_lmkcdey(setup_lmk):
+    ctx, sk, bk = setup_lmk
+    for bit in (0, 1):
+        ct = binfhe.encrypt(ctx, sk, bit, RNG)
+        assert binfhe.decrypt(ctx, sk, binfhe.bootstrap(ctx, bk, ct)) == bit
