@@ -115,7 +115,7 @@ def keygen(ctx: CKKSContext, sk, pre: BootstrapPrecomp,
     """(role of EvalBootstrapKeyGen: relin + conj + the s-1 rotations.)"""
     evk = ckks.relin_keygen(ctx, sk, rng)
     conj = ckks.conj_keygen(ctx, sk, rng)
-    rots = ckks.rot_keygen(ctx, sk, range(1, pre.slots), rng)
+    rots = ckks.rot_keygen(ctx, sk, lt_rotation_indices(pre.slots), rng)
     return BootstrapKeys(evk, conj, rots)
 
 
@@ -152,22 +152,51 @@ def _mod_raise_fn(ctx: CKKSContext):
     return fn
 
 
+def _bsgs_split(s: int):
+    """Baby/giant split with B*G >= s, B ~ sqrt(s)."""
+    B = 1 << ((s.bit_length()) // 2)
+    G = -(-s // B)
+    return B, G
+
+
+def lt_rotation_indices(s: int):
+    """Rotation keys needed by the BSGS linear transform of size s."""
+    B, G = _bsgs_split(s)
+    return sorted(set(range(1, B)) | {g * B for g in range(1, G)})
+
+
 def _linear_transform(ctx: CKKSContext, ct: Ciphertext, mat: np.ndarray,
                       keys: BootstrapKeys) -> Ciphertext:
-    """sum_j diag_j(mat) ⊙ rot_j(ct) with diagonals encoded at canonical
-    scale (role of EvalLinearTransform / EvalCoeffsToSlots inner loop)."""
+    """sum_j diag_j(mat) ⊙ rot_j(ct) via baby-step/giant-step: ~2*sqrt(s)
+    keyswitches instead of s (role of EvalLinearTransform /
+    EvalCoeffsToSlots inner loop; the reference's BSGS decomposition).
+    Giant-step diagonals are pre-rotated on the host (free), so only
+    B-1 baby + G-1 giant ciphertext rotations touch the device."""
     s = mat.shape[0]
     n_half = ctx.params.num_slots
     reps = n_half // s
+    B, G = _bsgs_split(s)
+    baby = {0: ct}
+    for b in range(1, B):
+        baby[b] = ckks.eval_rotate(ct, b, keys.rot[b])
     acc = None
-    for j in range(s):
-        rot = ct if j == 0 else ckks.eval_rotate(ct, j, keys.rot[j])
-        diag = np.array([mat[i, (i + j) % s] for i in range(s)])
-        pt = ckks.encode(ctx, np.tile(diag, reps), towers=rot.towers,
-                         scale=adv.scale_at(ctx, 0))
-        term = Ciphertext(tuple(dcrt.mul(p, pt) for p in rot.polys),
-                          rot.scale * adv.scale_at(ctx, 0))
-        acc = term if acc is None else ckks.eval_add(acc, term)
+    for g in range(G):
+        y = None
+        for b in range(B):
+            j = g * B + b
+            if j >= s:
+                break
+            diag = np.array([mat[i, (i + j) % s] for i in range(s)])
+            # pre-rotate by g*B so the giant rotation lands it at diag_j
+            d = np.roll(np.tile(diag, reps), g * B)
+            pt = ckks.encode(ctx, d, towers=ct.towers,
+                             scale=adv.scale_at(ctx, 0))
+            term = Ciphertext(tuple(dcrt.mul(p, pt) for p in baby[b].polys),
+                              baby[b].scale * adv.scale_at(ctx, 0))
+            y = term if y is None else ckks.eval_add(y, term)
+        if g > 0:
+            y = ckks.eval_rotate(y, g * B, keys.rot[g * B])
+        acc = y if acc is None else ckks.eval_add(acc, y)
     return ckks.rescale(acc)
 
 

@@ -97,7 +97,8 @@ def keygen(ctx: CKKSContext, bctx: binfhe.BinFHEContext,
     n_lwe, q_sw = p.n_lwe, p.q_ks
     N = ctx.n
     conj = ckks.conj_keygen(ctx, sk, rng)
-    rot_stc = ckks.rot_keygen(ctx, sk, range(1, pre.slots), rng)
+    rot_stc = ckks.rot_keygen(ctx, sk, boot.lt_rotation_indices(pre.slots),
+                              rng)
     rot_f2c = ckks.rot_keygen(ctx, sk, range(1, n_lwe), rng)
     evk = ckks.relin_keygen(ctx, sk, rng)
 
