@@ -144,20 +144,54 @@ def _host_intt(vals: List[int], t: int, psi_inv: int, n_inv: int,
     return [v * n_inv % t for v in a]
 
 
+@lru_cache(maxsize=None)
+def packed_slot_perm(n: int) -> "np.ndarray":
+    """User-slot -> NTT-slot index map for the packed encoding.
+
+    User slots are laid out as two rows of n/2 (the reference
+    PackedEncoding's 2 x n/2 structure, packedencoding.cpp): row 0 slot i
+    holds the evaluation at psi^(5^i mod 2n), row 1 slot i at
+    psi^(-5^i mod 2n).  In this order the automorphism sigma_{5^r} is a
+    simultaneous cyclic left-rotation of both rows (EvalAtIndex), and
+    sigma_{2n-1} swaps the rows — matching the reference's rotation
+    semantics without its index-translation tables.
+    """
+    from .ops.ntt import bit_reverse_perm
+
+    rev = bit_reverse_perm(n)
+    exp_to_slot = np.zeros(2 * n, dtype=np.int64)
+    for j in range(n):
+        exp_to_slot[2 * int(rev[j]) + 1] = j
+    perm = np.zeros(n, dtype=np.int64)
+    g = 1
+    for i in range(n // 2):
+        perm[i] = exp_to_slot[g]
+        perm[i + n // 2] = exp_to_slot[2 * n - g]
+        g = g * 5 % (2 * n)
+    return perm
+
+
 def packed_encode(values: Sequence[int], n: int, t: int) -> List[int]:
     """Z_t slot values -> plaintext polynomial coefficients mod t.
 
-    Slots live in bit-reversed evaluation order (matching ntt.forward's
-    order contract so ciphertext-side rotations act on slots consistently).
+    User slots follow the 5-orbit row order of packed_slot_perm so that
+    ciphertext-side rotations act as row rotations (reference:
+    PackedEncoding CRT packing).
     """
     psi, psi_inv, n_inv = _packed_tables(n, t)
-    slots = [int(v) % t for v in values] + [0] * (n - len(values))
+    perm = packed_slot_perm(n)
+    vals = [int(v) % t for v in values] + [0] * (n - len(values))
+    slots = [0] * n
+    for j, v in enumerate(vals):
+        slots[perm[j]] = v
     return _host_intt(slots, t, psi_inv, n_inv, n)
 
 
 def packed_decode(coeffs: Sequence[int], n: int, t: int) -> List[int]:
     psi, psi_inv, n_inv = _packed_tables(n, t)
-    return _host_ntt([int(c) % t for c in coeffs], t, psi, n)
+    ntt_slots = _host_ntt([int(c) % t for c in coeffs], t, psi, n)
+    perm = packed_slot_perm(n)
+    return [ntt_slots[perm[j]] for j in range(n)]
 
 
 # ---------------------------------------------------------------------------

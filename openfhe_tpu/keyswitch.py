@@ -243,31 +243,24 @@ def rns_poly_from_rows(basis: RnsBasis, rows, fmt: Format) -> RnsPoly:
     return make_poly(basis, data, fmt)
 
 
-def apply(key: KSKey, c: RnsPoly) -> Tuple[RnsPoly, RnsPoly]:
-    """Key-switch EVAL-form c over Q_l: returns (d0, d1) over Q_l (EVAL)
-    such that d0 + d1*s ≈ c*s_to (the caller adds d0/d1 into the ct).
+def hoist_decompose(params: KSParams, c: RnsPoly) -> U64:
+    """Phase 1 of the hybrid switch — the expensive digit decomposition +
+    mod-up, hoisted so it can be shared across many rotations of the same
+    ciphertext: returns the digit stack [ndig, lvl+K, n] in EVAL form over
+    Q_l*P.
 
-    (Reference stack: KeySwitchCore -> EvalKeySwitchPrecomputeCore ->
-    EvalFastKeySwitchCoreExt -> EvalFastKeySwitchCore,
-    ``keyswitch-hybrid.cpp:324-482``.)
+    (Reference role: EvalKeySwitchPrecomputeCore /
+    EvalFastRotationPrecompute, ``keyswitch-hybrid.cpp:330-413``.)
     """
-    params = key.params
     assert c.fmt == Format.EVAL
     lvl = c.basis.L
     q_act = params.q_moduli[:lvl]
     assert c.basis.moduli == q_act, "ciphertext basis must be a Q prefix"
     ndig = params.num_digits(lvl)
     eb = ext_basis(params, lvl)
-    K = len(params.p_moduli)
-    Lfull = len(params.q_moduli)
 
     c_coeff = ntt_ops.inverse(c.basis.plan, c.data)  # [lvl, n]
-
-    # active rows of the key: q_0..q_{lvl-1} then the P block
-    row_idx = list(range(lvl)) + list(range(Lfull, Lfull + K))
-    idx = jnp.asarray(row_idx)
-
-    acc0 = acc1 = None
+    digits = []
     for j in range(ndig):
         s, e = params.digit_range(j, lvl)
         part = U64(c_coeff.lo[s:e], c_coeff.hi[s:e])
@@ -277,7 +270,33 @@ def apply(key: KSKey, c: RnsPoly) -> Tuple[RnsPoly, RnsPoly]:
         # assemble rows in basis order [q_0..q_{lvl-1}, P]
         lo = jnp.concatenate([conv.lo[:s], part.lo, conv.lo[s:]], axis=0)
         hi = jnp.concatenate([conv.hi[:s], part.hi, conv.hi[s:]], axis=0)
-        digit = ntt_ops.forward(eb.plan, U64(lo, hi))  # EVAL over Q_l*P
+        digits.append(ntt_ops.forward(eb.plan, U64(lo, hi)))
+    return U64(jnp.stack([d.lo for d in digits]),
+               jnp.stack([d.hi for d in digits]))
+
+
+def hoist_inner_product(key: KSKey, digits: U64, basis: RnsBasis
+                        ) -> Tuple[RnsPoly, RnsPoly]:
+    """Phase 2 — inner product of a (possibly automorphism-permuted) digit
+    stack with the key, then mod-down by P.  ``basis`` is the ciphertext's
+    Q_l basis.
+
+    (Reference role: EvalFastKeySwitchCoreExt -> EvalFastKeySwitchCore,
+    ``keyswitch-hybrid.cpp:416-482``.)
+    """
+    params = key.params
+    lvl = basis.L
+    q_act = params.q_moduli[:lvl]
+    ndig = params.num_digits(lvl)
+    eb = ext_basis(params, lvl)
+    K = len(params.p_moduli)
+    Lfull = len(params.q_moduli)
+
+    # active rows of the key: q_0..q_{lvl-1} then the P block
+    idx = jnp.asarray(list(range(lvl)) + list(range(Lfull, Lfull + K)))
+    acc0 = acc1 = None
+    for j in range(ndig):
+        digit = U64(digits.lo[j], digits.hi[j])
         kb = U64(key.b_lo[j][idx], key.b_hi[j][idx])
         ka = U64(key.a_lo[j][idx], key.a_hi[j][idx])
         t0 = mul_mod(digit, kb, eb.mod)
@@ -295,14 +314,40 @@ def apply(key: KSKey, c: RnsPoly) -> Tuple[RnsPoly, RnsPoly]:
         xp = U64(cc.lo[lvl:], cc.hi[lvl:])
         down = rns.approx_mod_down(xq, xp, q_act, params.p_moduli,
                                    params.plaintext_correction)
-        return ntt_ops.forward(c.basis.plan, down)
+        return ntt_ops.forward(basis.plan, down)
 
-    d0 = make_poly(c.basis, mod_down(acc0), Format.EVAL)
-    d1 = make_poly(c.basis, mod_down(acc1), Format.EVAL)
+    d0 = make_poly(basis, mod_down(acc0), Format.EVAL)
+    d1 = make_poly(basis, mod_down(acc1), Format.EVAL)
     return d0, d1
 
 
+def apply(key: KSKey, c: RnsPoly) -> Tuple[RnsPoly, RnsPoly]:
+    """Key-switch EVAL-form c over Q_l: returns (d0, d1) over Q_l (EVAL)
+    such that d0 + d1*s ≈ c*s_to (the caller adds d0/d1 into the ct).
+
+    (Reference stack: KeySwitchCore -> EvalKeySwitchPrecomputeCore ->
+    EvalFastKeySwitchCoreExt -> EvalFastKeySwitchCore,
+    ``keyswitch-hybrid.cpp:324-482``.)
+    """
+    digits = hoist_decompose(key.params, c)
+    return hoist_inner_product(key, digits, c.basis)
+
+
+def hoist_rotate_apply(key: KSKey, digits: U64, basis: RnsBasis,
+                       galois_k: int) -> Tuple[RnsPoly, RnsPoly]:
+    """Apply the automorphism sigma_k to a hoisted digit stack (one slot
+    gather over [ndig, lvl+K, n]) and inner-product with the rotation key
+    (reference: EvalFastRotation applying AutomorphismTransform to the
+    precomputed digits)."""
+    from .ops import automorph
+    rotated = automorph.apply_eval(digits, basis.n, galois_k)
+    return hoist_inner_product(key, rotated, basis)
+
+
 apply = jax.jit(apply)
+hoist_decompose = jax.jit(hoist_decompose, static_argnums=0)
+hoist_inner_product = jax.jit(hoist_inner_product, static_argnums=2)
+hoist_rotate_apply = jax.jit(hoist_rotate_apply, static_argnums=(2, 3))
 
 
 # ---------------------------------------------------------------------------

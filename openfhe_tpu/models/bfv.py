@@ -447,3 +447,44 @@ def eval_mult_plain(ctx: BFVContext, ct: Ciphertext,
     rows = sampling.signed_to_rns_rows(coeffs, basis.moduli)
     pt = dcrt.to_eval(dcrt.from_int_rows(basis, rows, Format.COEFF))
     return Ciphertext(tuple(dcrt.mul(p, pt) for p in ct.polys))
+
+
+def rotation_galois(n: int, r: int) -> int:
+    """Galois element for a packed-slot row rotation by r: 5^r mod 2n
+    (reference: EvalAtIndex -> FindAutomorphismIndex2n for BGV/BFV)."""
+    return pow(5, r % (n // 2), 2 * n)
+
+
+def eval_rotate(ct: Ciphertext, r: int, rot_key: keyswitch.KSKey
+                ) -> Ciphertext:
+    """Rotate both packed rows left by r (reference: EvalAtIndex)."""
+    return eval_automorphism(ct, rotation_galois(ct.basis.n, r), rot_key)
+
+
+def eval_flip_rows(ct: Ciphertext, key: keyswitch.KSKey) -> Ciphertext:
+    """Swap the two packed rows (sigma_{2n-1})."""
+    return eval_automorphism(ct, 2 * ct.basis.n - 1, key)
+
+
+def sum_galois_indices(n: int) -> list:
+    """Galois elements for eval_sum's rotation tree + the row flip
+    (reference: EvalSumKeyGen)."""
+    return [rotation_galois(n, 1 << i)
+            for i in range((n // 2).bit_length() - 1)] + [2 * n - 1]
+
+
+def eval_sum(ct: Ciphertext, rot_keys) -> Ciphertext:
+    """Every slot becomes the sum of ALL n slots (reference: EvalSum)."""
+    n = ct.basis.n
+    out = ct
+    for i in range((n // 2).bit_length() - 1):
+        k = rotation_galois(n, 1 << i)
+        out = eval_add(out, eval_automorphism(out, k, rot_keys[k]))
+    flip = 2 * n - 1
+    return eval_add(out, eval_automorphism(out, flip, rot_keys[flip]))
+
+
+def eval_inner_product(ctx: BFVContext, ct1: Ciphertext, ct2: Ciphertext,
+                       evk: keyswitch.KSKey, rot_keys) -> Ciphertext:
+    """<ct1, ct2> over all slots, replicated (reference: EvalInnerProduct)."""
+    return eval_sum(eval_mult_relin(ctx, ct1, ct2, evk), rot_keys)

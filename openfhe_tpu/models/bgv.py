@@ -348,3 +348,48 @@ def eval_mult_plain(ctx: BGVContext, ct: Ciphertext,
                     values: Sequence[int]) -> Ciphertext:
     pt = encode(ctx, values, towers=ct.towers)
     return Ciphertext(tuple(dcrt.mul(p, pt) for p in ct.polys))
+
+
+def rotation_galois(n: int, r: int) -> int:
+    """Galois element for a packed-slot row rotation by r: 5^r mod 2n
+    (reference: EvalAtIndex -> FindAutomorphismIndex2n for BGV/BFV)."""
+    return pow(5, r % (n // 2), 2 * n)
+
+
+def eval_rotate(ct: Ciphertext, r: int, rot_key: keyswitch.KSKey
+                ) -> Ciphertext:
+    """Rotate both packed rows left by r (reference: EvalAtIndex; the
+    packed encoding's 5-orbit slot order makes sigma_{5^r} a row roll)."""
+    return eval_automorphism(ct, rotation_galois(ct.basis.n, r), rot_key)
+
+
+def eval_flip_rows(ct: Ciphertext, key: keyswitch.KSKey) -> Ciphertext:
+    """Swap the two packed rows (sigma_{2n-1}; reference: the column
+    generator of PackedEncoding)."""
+    return eval_automorphism(ct, 2 * ct.basis.n - 1, key)
+
+
+def sum_galois_indices(n: int) -> list:
+    """Galois elements for eval_sum's rotation tree + the row flip
+    (reference: EvalSumKeyGen)."""
+    return [rotation_galois(n, 1 << i)
+            for i in range((n // 2).bit_length() - 1)] + [2 * n - 1]
+
+
+def eval_sum(ct: Ciphertext, rot_keys) -> Ciphertext:
+    """Every slot becomes the sum of ALL n slots (log(n/2) row rotations
+    + one row flip; reference: AdvancedSHEBase::EvalSum for packed
+    plaintexts)."""
+    n = ct.basis.n
+    out = ct
+    for i in range((n // 2).bit_length() - 1):
+        k = rotation_galois(n, 1 << i)
+        out = eval_add(out, eval_automorphism(out, k, rot_keys[k]))
+    flip = 2 * n - 1
+    return eval_add(out, eval_automorphism(out, flip, rot_keys[flip]))
+
+
+def eval_inner_product(ctx: BGVContext, ct1: Ciphertext, ct2: Ciphertext,
+                       evk: keyswitch.KSKey, rot_keys) -> Ciphertext:
+    """<ct1, ct2> over all slots, replicated (reference: EvalInnerProduct)."""
+    return eval_sum(eval_mult_relin(ct1, ct2, evk), rot_keys)

@@ -414,6 +414,43 @@ def eval_rotate(ct: Ciphertext, rot: int, rot_key: keyswitch.KSKey
     return Ciphertext((dcrt.add(c0, d0), d1), ct.scale)
 
 
+def fast_rotation_precompute(ct: Ciphertext, any_key: keyswitch.KSKey):
+    """Hoisted digit decomposition of c1, shared by every subsequent
+    eval_fast_rotate of the same ciphertext (reference:
+    EvalFastRotationPrecompute, keyswitch-hybrid.cpp:330).  Returns the
+    EVAL-form digit stack over Q_l*P.  ``any_key`` supplies the keyswitch
+    geometry (all of a context's keys share it)."""
+    assert len(ct.polys) == 2
+    return keyswitch.hoist_decompose(any_key.params, ct.polys[1])
+
+
+def eval_fast_rotate(ct: Ciphertext, rot: int, rot_key: keyswitch.KSKey,
+                     digits) -> Ciphertext:
+    """Rotation using a hoisted decomposition (reference: EvalFastRotation,
+    keyswitch-hybrid.cpp / base-leveledshe).  The automorphism is applied
+    to the PRE-DECOMPOSED digits — a slot gather on the stack — which is
+    valid because the decomposition is coefficient-wise linear; the basis-
+    conversion overflow term changes by a tolerated multiple of Q (the
+    same argument as the reference's hoisting)."""
+    assert len(ct.polys) == 2
+    n = ct.basis.n
+    k = rotation_indices_to_galois(n, rot)
+    c0 = dcrt.automorphism(ct.polys[0], k)
+    d0, d1 = keyswitch.hoist_rotate_apply(rot_key, digits, ct.basis, k)
+    return Ciphertext((dcrt.add(c0, d0), d1), ct.scale)
+
+
+def eval_fast_conjugate(ct: Ciphertext, conj_key: keyswitch.KSKey,
+                        digits) -> Ciphertext:
+    """Conjugation via a hoisted decomposition (galois element 2n-1)."""
+    assert len(ct.polys) == 2
+    n = ct.basis.n
+    k = 2 * n - 1
+    c0 = dcrt.automorphism(ct.polys[0], k)
+    d0, d1 = keyswitch.hoist_rotate_apply(conj_key, digits, ct.basis, k)
+    return Ciphertext((dcrt.add(c0, d0), d1), ct.scale)
+
+
 def eval_conjugate(ct: Ciphertext, conj_key: keyswitch.KSKey) -> Ciphertext:
     assert len(ct.polys) == 2
     n = ct.basis.n

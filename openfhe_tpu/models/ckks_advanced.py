@@ -249,3 +249,187 @@ def chebyshev_coefficients(fn, a: float, b: float, degree: int) -> np.ndarray:
         coeffs[k] = (2.0 / m) * np.sum(fvals * np.cos(np.pi * k * (j + 0.5) / m))
     coeffs[0] /= 2.0
     return coeffs
+
+
+def eval_chebyshev_ps(ctx: CKKSContext, ct: Ciphertext,
+                      coeffs: Sequence[float], a: float, b: float,
+                      evk: keyswitch.KSKey) -> Ciphertext:
+    """Paterson-Stockmeyer evaluation of sum_j coeffs[j] T_j(y),
+    y = (2x - a - b)/(b - a): ~sqrt(2 deg) ct-ct mults instead of deg
+    (reference: EvalChebyshevSeriesPS, ckksrns-utils.cpp
+    InnerEvalChebyshevPS/LongDivisionChebyshev; the division here uses
+    numpy's exact Chebyshev-basis long division)."""
+    from numpy.polynomial import chebyshev as C
+
+    coeffs = np.asarray(coeffs, dtype=np.float64)
+    deg = len(coeffs) - 1
+    if deg <= 4:
+        return eval_chebyshev(ctx, ct, coeffs, a, b, evk)
+
+    scale = 2.0 / (b - a)
+    shift = -(a + b) / (b - a)
+    y = normalized_mult_const(ctx, ct, scale)
+    y = add_const(ctx, y, shift)
+
+    # baby set T_1..T_k and giants G_i = T_{k 2^i}, i = 0..m-1
+    k = max(2, int(np.ceil(np.sqrt(deg / 2.0))))
+    m = 1
+    while k * (1 << m) <= deg:
+        m += 1
+
+    T = {1: y}
+
+    def baby(j: int) -> Ciphertext:
+        if j in T:
+            return T[j]
+        hi = (j + 1) // 2
+        lo = j - hi
+        prod = mult_auto(ctx, baby(hi), baby(lo), evk)
+        two = mult_const(ctx, prod, 2.0, 1.0)
+        T[j] = (add_const(ctx, two, -1.0) if hi == lo
+                else sub_auto(ctx, two, baby(hi - lo)))
+        return T[j]
+
+    G = [baby(k)]
+    for _ in range(1, m):
+        sq = square_auto(ctx, G[-1], evk)
+        G.append(add_const(ctx, mult_const(ctx, sq, 2.0, 1.0), -1.0))
+
+    def leaf(c: np.ndarray) -> Ciphertext | float:
+        """Linear combination of baby T's (degree < k); returns a float
+        when the polynomial is constant."""
+        c = np.trim_zeros(np.asarray(c, dtype=np.float64), "b")
+        if len(c) == 0:
+            return 0.0
+        if len(c) == 1:
+            return float(c[0])
+        terms = [(c[j], baby(j)) for j in range(1, len(c))
+                 if abs(c[j]) > 1e-300]
+        kd = max(depth_of(ctx, t[1]) for t in terms)
+        acc = None
+        for w, p in terms:
+            # encode at s_kd so the rescaled sum lands at the CANONICAL
+            # scale s_{kd+1} = s_kd^2/q (node() feeds this to mult_auto)
+            t = mult_const(ctx, adjust_depth(ctx, p, kd), w,
+                           scale_at(ctx, kd))
+            acc = t if acc is None else ckks.eval_add(acc, t)
+        acc = ckks.rescale(acc)
+        if abs(c[0]) > 1e-300:
+            acc = add_const(ctx, acc, float(c[0]))
+        return acc
+
+    def node(c: np.ndarray) -> Ciphertext | float:
+        c = np.trim_zeros(np.asarray(c, dtype=np.float64), "b")
+        d = len(c) - 1
+        if d < k:
+            return leaf(c)
+        # largest giant T_M, M = k 2^i, with M <= d
+        i = min(m - 1, int(np.floor(np.log2(d / k))))
+        M = k << i
+        tm = np.zeros(M + 1)
+        tm[M] = 1.0
+        q, r = C.chebdiv(c, tm)
+        qv, rv = node(q), node(r)
+        if isinstance(qv, float):
+            kg = depth_of(ctx, G[i])
+            prod = ckks.rescale(mult_const(ctx, G[i], qv, scale_at(ctx, kg)))
+        else:
+            prod = mult_auto(ctx, qv, G[i], evk)
+        if isinstance(rv, float):
+            return add_const(ctx, prod, rv)
+        return add_auto(ctx, prod, rv)
+
+    out = node(coeffs)
+    assert isinstance(out, Ciphertext)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# EvalSum / inner product / merge / negate
+# (reference: AdvancedSHEBase::EvalSum/EvalInnerProduct/EvalMerge,
+# base-advancedshe.cpp; cryptocontext.h EvalSumKeyGen)
+# ---------------------------------------------------------------------------
+
+
+def sum_rotation_indices(batch: int) -> list:
+    """Keys needed by eval_sum over a power-of-two batch: 1, 2, 4, ..."""
+    assert batch & (batch - 1) == 0, "batch size must be a power of two"
+    return [1 << i for i in range(batch.bit_length() - 1)]
+
+
+def eval_sum(ctx: CKKSContext, ct: Ciphertext, batch: int,
+             rot_keys) -> Ciphertext:
+    """Every slot of each batch-aligned block becomes the block sum
+    (rotation tree, log2(batch) rotations; reference: EvalSum)."""
+    out = ct
+    for r in sum_rotation_indices(batch):
+        out = ckks.eval_add(out, ckks.eval_rotate(out, r, rot_keys[r]))
+    return out
+
+
+def eval_inner_product(ctx: CKKSContext, ct1: Ciphertext, ct2: Ciphertext,
+                       batch: int, evk: keyswitch.KSKey,
+                       rot_keys) -> Ciphertext:
+    """<ct1, ct2> over the first ``batch`` slots, result replicated across
+    the batch (reference: EvalInnerProduct)."""
+    return eval_sum(ctx, mult_auto(ctx, ct1, ct2, evk), batch, rot_keys)
+
+
+def eval_merge(ctx: CKKSContext, cts: Sequence[Ciphertext],
+               rot_keys) -> Ciphertext:
+    """Merge slot 0 of each ct_i into slot i of one ciphertext
+    (reference: EvalMerge: mask to e_0, rotate by -i, sum)."""
+    mask = np.zeros(ctx.params.num_slots)
+    mask[0] = 1.0
+    acc = None
+    for i, ct in enumerate(cts):
+        t = ckks.rescale(ckks.eval_mult_plain(ctx, ct, mask))
+        if i > 0:
+            r = ctx.params.num_slots - i  # rotate by -i
+            t = ckks.eval_rotate(t, r, rot_keys[r])
+        acc = t if acc is None else add_auto(ctx, acc, t)
+    return acc
+
+
+def eval_negate(ct: Ciphertext) -> Ciphertext:
+    """-ct (reference: EvalNegate)."""
+    from .. import dcrt
+    return Ciphertext(tuple(dcrt.neg(p) for p in ct.polys), ct.scale)
+
+
+# ---------------------------------------------------------------------------
+# Chebyshev function evaluation wrappers
+# (reference: cryptocontext.h EvalLogistic/EvalDivide/EvalSin/EvalCos/
+# EvalSqrt -> EvalChebyshevFunction, ckksrns-utils)
+# ---------------------------------------------------------------------------
+
+
+def eval_chebyshev_function(ctx: CKKSContext, fn, ct: Ciphertext,
+                            a: float, b: float, degree: int,
+                            evk: keyswitch.KSKey) -> Ciphertext:
+    coeffs = chebyshev_coefficients(fn, a, b, degree)
+    return eval_chebyshev_ps(ctx, ct, coeffs, a, b, evk)
+
+
+def eval_logistic(ctx, ct, a, b, degree, evk):
+    return eval_chebyshev_function(
+        ctx, lambda x: 1.0 / (1.0 + np.exp(-x)), ct, a, b, degree, evk)
+
+
+def eval_divide(ctx, ct, a, b, degree, evk):
+    assert a * b > 0, "interval must exclude 0"
+    return eval_chebyshev_function(ctx, lambda x: 1.0 / x, ct, a, b,
+                                   degree, evk)
+
+
+def eval_sin(ctx, ct, a, b, degree, evk):
+    return eval_chebyshev_function(ctx, np.sin, ct, a, b, degree, evk)
+
+
+def eval_cos(ctx, ct, a, b, degree, evk):
+    return eval_chebyshev_function(ctx, np.cos, ct, a, b, degree, evk)
+
+
+def eval_sqrt(ctx, ct, a, b, degree, evk):
+    assert a >= 0
+    return eval_chebyshev_function(ctx, np.sqrt, ct, a, b, degree, evk)

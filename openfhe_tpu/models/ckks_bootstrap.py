@@ -17,11 +17,23 @@ Pipeline (CCS18 structure):
   3. EvalSine: Chebyshev approximation of cos(2*pi*u) on the shrunken
      range (u = (y - 1/4)/2^r) followed by r double-angle squarings gives
      sin(2*pi*y) — i.e. (2*pi/q0)*(sigma*m) up to O((m/q0)^3).
-  4. SlotsToCoeffs: inverse transform (with conjugate branch), folding in
-     q0/(2*pi*sigma), restores m in the coefficients at a canonical scale.
+  4. SlotsToCoeffs: inverse transform, folding in q0/(2*pi*sigma),
+     restores m in the coefficients at a canonical scale.  (The StC
+     conjugate branch of the textbook pipeline is identically zero here:
+     E = (Mc1 + i*Mc2)/2 with Mc2 = i*Mc1 exactly, so only LT_D runs.)
 
 Matrices are s x s with s = #sparse slots (s <= n/4); all diagonal
 constants are encoded at FLEXIBLEAUTO canonical scales.
+
+Level budgets (reference: EvalBootstrapSetup levelBudget,
+ckksrns-fhe.cpp:62-133): setup(..., level_budget=(be, bd)) with be or
+bd > 1 switches CtS/StC to the collapsed-FFT form of ckks_fft.py —
+``be``/``bd`` sparse factors of <= 2^(layers+1)-1 cyclic diagonals each,
+costing one level per factor but far fewer rotations/keys than the
+dense s-diagonal transform.  CtS runs decimation-in-frequency (slots
+come out bit-reverse permuted), the pointwise sine doesn't care, and
+StC's decimation-in-time factors consume exactly that order — the two
+bit-reversal permutations cancel and are never evaluated.
 """
 
 from __future__ import annotations
@@ -39,6 +51,7 @@ from ..ops.limb import U64
 from ..ops.modular import make_mod_consts, switch_modulus
 from . import ckks
 from . import ckks_advanced as adv
+from . import ckks_fft as cfft
 from .ckks import Ciphertext, CKKSContext
 
 
@@ -49,8 +62,14 @@ class BootstrapPrecomp:
     r: int            # double-angle iterations
     cheb_coeffs: np.ndarray
     A_half: np.ndarray    # CtS matrix (already divided by 2) [s, s]
-    D: np.ndarray         # StC matrices: z = D u + E conj(u)
-    E: np.ndarray
+    D: np.ndarray         # StC matrix: z = D u (the conj branch is 0)
+    level_budget: tuple = (1, 1)
+    cts: list | None = None   # collapsed-FFT factors (application order)
+    stc: list | None = None
+
+    @property
+    def staged(self) -> bool:
+        return self.level_budget != (1, 1)
 
 
 @dataclasses.dataclass
@@ -62,9 +81,12 @@ class BootstrapKeys:
 
 def stc_matrices(n: int, s: int):
     """Numerically built CtS/StC constants for s sparse slots at ring dim
-    n: A maps slot values -> packed subring coeffs; (D, E) applied as
-    LT_D(u) + LT_E(conj(u)) yield a ciphertext whose coefficients at the
-    gap positions equal u's slot values. Shared with scheme switching."""
+    n: A maps slot values -> packed subring coeffs; LT_D(u) yields a
+    ciphertext whose coefficients at the gap positions equal u's slot
+    values (the conjugate branch E = (Mc1 + i*Mc2)/2 vanishes identically
+    because Mc2 = i*Mc1: the upper coefficient half sits at exponent
+    offset s where zeta^(5^j s) = i in every slot). Shared with scheme
+    switching."""
     gap = n // (2 * s)
     reps = n // (2 * s)
 
@@ -91,31 +113,46 @@ def stc_matrices(n: int, s: int):
         c[(j + s) * gap] = 1.0
         Mc2[:, j] = encoding.ckks_embed(c, n)[:s]
     D = (Mc1 - 1j * Mc2) / 2.0
-    E = (Mc1 + 1j * Mc2) / 2.0
-    return A, D, E
+    assert np.max(np.abs(Mc1 + 1j * Mc2)) < 1e-9 * np.max(np.abs(Mc1))
+    return A, D
 
 
 def setup(ctx: CKKSContext, slots: int, K: int = 16, r: int = 5,
-          cheb_deg: int = 28) -> BootstrapPrecomp:
+          cheb_deg: int = 28,
+          level_budget: tuple = (1, 1)) -> BootstrapPrecomp:
     """(role of EvalBootstrapSetup: builds linear-transform constants and
-    the sine approximation.)"""
+    the sine approximation; level_budget=(enc, dec) > 1 selects the
+    collapsed-FFT CtS/StC factors, ckksrns-fhe.cpp:108-133.)"""
     n = ctx.n
     s = slots
     assert s <= n // 4 and n % (2 * s) == 0
-    A, D, E = stc_matrices(n, s)
+    A, D = stc_matrices(n, s)
 
     a_dom = (K + 1) / float(1 << r)
     cheb = adv.chebyshev_coefficients(
         lambda u: np.cos(2.0 * np.pi * u), -a_dom, a_dom, cheb_deg)
-    return BootstrapPrecomp(s, K, r, cheb, A / 2.0, D, E)
+    level_budget = tuple(level_budget)
+    cts = stc = None
+    if level_budget != (1, 1):
+        cts = cfft.cts_factors(s, level_budget[0])
+        # the q0/(2 pi sigma) recovery factor is applied at eval time
+        stc = cfft.stc_factors(s, level_budget[1])
+    return BootstrapPrecomp(s, K, r, cheb, A / 2.0, D,
+                            level_budget, cts, stc)
 
 
 def keygen(ctx: CKKSContext, sk, pre: BootstrapPrecomp,
            rng: np.random.Generator) -> BootstrapKeys:
-    """(role of EvalBootstrapKeyGen: relin + conj + the s-1 rotations.)"""
+    """(role of EvalBootstrapKeyGen: relin + conj + the LT rotations —
+    BSGS baby/giant set for the dense path, the collapsed factors'
+    diagonal offsets for the staged path.)"""
     evk = ckks.relin_keygen(ctx, sk, rng)
     conj = ckks.conj_keygen(ctx, sk, rng)
-    rots = ckks.rot_keygen(ctx, sk, lt_rotation_indices(pre.slots), rng)
+    if pre.staged:
+        idx = cfft.factors_rotations(pre.cts + pre.stc)
+    else:
+        idx = lt_rotation_indices(pre.slots)
+    rots = ckks.rot_keygen(ctx, sk, idx, rng)
     return BootstrapKeys(evk, conj, rots)
 
 
@@ -171,14 +208,18 @@ def _linear_transform(ctx: CKKSContext, ct: Ciphertext, mat: np.ndarray,
     keyswitches instead of s (role of EvalLinearTransform /
     EvalCoeffsToSlots inner loop; the reference's BSGS decomposition).
     Giant-step diagonals are pre-rotated on the host (free), so only
-    B-1 baby + G-1 giant ciphertext rotations touch the device."""
+    B-1 baby + G-1 giant ciphertext rotations touch the device; the baby
+    rotations share ONE hoisted digit decomposition (reference:
+    EvalFastRotationPrecompute amortization)."""
     s = mat.shape[0]
     n_half = ctx.params.num_slots
     reps = n_half // s
     B, G = _bsgs_split(s)
     baby = {0: ct}
-    for b in range(1, B):
-        baby[b] = ckks.eval_rotate(ct, b, keys.rot[b])
+    if B > 1:
+        digits = ckks.fast_rotation_precompute(ct, keys.rot[1])
+        for b in range(1, B):
+            baby[b] = ckks.eval_fast_rotate(ct, b, keys.rot[b], digits)
     acc = None
     for g in range(G):
         y = None
@@ -198,6 +239,43 @@ def _linear_transform(ctx: CKKSContext, ct: Ciphertext, mat: np.ndarray,
             y = ckks.eval_rotate(y, g * B, keys.rot[g * B])
         acc = y if acc is None else ckks.eval_add(acc, y)
     return ckks.rescale(acc)
+
+
+def _lt_diags(ctx: CKKSContext, ct: Ciphertext, diags, keys: BootstrapKeys,
+              fold: complex = 1.0) -> Ciphertext:
+    """One collapsed-FFT factor: sum_r diag_r ⊙ rot_r(ct), then rescale.
+    The factor's diagonal count is small (<= 2^(layers+1)-1), so rotations
+    are applied directly (no BSGS) — each offset has its own key, and all
+    offsets share ONE hoisted digit decomposition of ct (reference:
+    EvalFastRotationPrecompute amortization)."""
+    s = len(next(iter(diags.values())))
+    reps = ctx.params.num_slots // s
+    pt_scale = adv.scale_at(ctx, 0)
+    offs = sorted(diags)
+    digits = None
+    if any(r != 0 for r in offs):
+        digits = ckks.fast_rotation_precompute(
+            ct, keys.rot[next(r for r in offs if r != 0)])
+    acc = None
+    for r in offs:
+        d = np.tile(diags[r] * fold, reps)
+        pt = ckks.encode(ctx, d, towers=ct.towers, scale=pt_scale)
+        rct = ct if r == 0 else ckks.eval_fast_rotate(ct, r, keys.rot[r],
+                                                      digits)
+        term = Ciphertext(tuple(dcrt.mul(p, pt) for p in rct.polys),
+                          rct.scale * pt_scale)
+        acc = term if acc is None else ckks.eval_add(acc, term)
+    return ckks.rescale(acc)
+
+
+def _lt_factors(ctx: CKKSContext, ct: Ciphertext, factors, keys,
+                fold: complex = 1.0) -> Ciphertext:
+    """Apply collapsed-FFT factors in application order (one level each);
+    ``fold`` is multiplied into the last factor's constants."""
+    for i, f in enumerate(factors):
+        ct = _lt_diags(ctx, ct, f, keys,
+                       fold if i == len(factors) - 1 else 1.0)
+    return ct
 
 
 def _mult_i(ctx: CKKSContext, ct: Ciphertext, sign: int = 1) -> Ciphertext:
@@ -225,8 +303,12 @@ def eval_bootstrap(ctx: CKKSContext, keys: BootstrapKeys,
     raised = mod_raise(ctx, ct)
 
     # 2. CoeffsToSlots: v' = LT_{A/2}(raised); split real/imag coefficient
-    # halves via conjugation
-    v = _linear_transform(ctx, raised, pre.A_half, keys)
+    # halves via conjugation. Staged: DIF factors, slots exit bit-reversed
+    # (the pointwise steps below don't care; StC consumes that order).
+    if pre.staged:
+        v = _lt_factors(ctx, raised, pre.cts, keys)
+    else:
+        v = _linear_transform(ctx, raised, pre.A_half, keys)
     v_conj = ckks.eval_conjugate(v, keys.conj)
     y_re = ckks.eval_add(v, v_conj)
     y_im = _mult_i(ctx, ckks.eval_sub(v_conj, v), 1)
@@ -255,13 +337,13 @@ def eval_bootstrap(ctx: CKKSContext, keys: BootstrapKeys,
     s_re = adv.adjust_depth(ctx, s_re, k)
     s_im = adv.adjust_depth(ctx, s_im, k)
     u = ckks.eval_add(s_re, _mult_i(ctx, s_im, 1))
-    u_conj = ckks.eval_conjugate(u, keys.conj)
     factor = q0 / (2.0 * np.pi * sigma_in)
-    out_d = _linear_transform(ctx, u, pre.D * factor, keys)
-    out_e = _linear_transform(ctx, u_conj, pre.E * factor, keys)
-    # slots of out_d + out_e read the original message m directly (the
-    # q0/(2*pi*sigma) recovery factor is folded into the StC diagonals)
-    return ckks.eval_add(out_d, out_e)
+    # slots of the output read the original message m directly (the
+    # q0/(2*pi*sigma) recovery factor is folded into the StC diagonals;
+    # the conjugate branch LT_E is identically zero — see stc_matrices)
+    if pre.staged:
+        return _lt_factors(ctx, u, pre.stc, keys, fold=factor)
+    return _linear_transform(ctx, u, pre.D * factor, keys)
 
 
 # ---------------------------------------------------------------------------

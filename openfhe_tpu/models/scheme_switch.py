@@ -52,8 +52,7 @@ from .ckks import Ciphertext, CKKSContext
 @dataclasses.dataclass
 class SchemeSwitchPrecomp:
     slots: int            # LT size s (power of two >= values per switch)
-    D: np.ndarray         # StC matrices (ckks_bootstrap convention)
-    E: np.ndarray
+    D: np.ndarray         # StC matrix (ckks_bootstrap convention; conj branch is 0)
     B: int                # wrap bound for the FHEW->CKKS sine interval
     cheb_coeffs: np.ndarray
 
@@ -79,12 +78,21 @@ def setup(ctx: CKKSContext, bctx: binfhe.BinFHEContext, slots: int,
     n_lwe = bctx.params.n_lwe
     assert ctx.params.num_slots % n_lwe == 0, \
         "n_lwe must divide the CKKS slot count for the diagonal method"
-    _, D, E = boot.stc_matrices(n, s)
-    # 3-sigma wrap bound for t = b/q - <a/q, s>, a uniform, s ternary
-    B = int(np.ceil(3.0 * np.sqrt(n_lwe / 3.0))) + 2
+    _, D = boot.stc_matrices(n, s)
+    # Wrap bound for the phase t = b/q - <a/q, s> (a uniform, s ternary):
+    # Var(<a/q, s>) ~ n_lwe/3 * Var(unif[0,1)) so 3*sqrt(n_lwe/3) is a
+    # ~3-sigma bound and the +2 absorbs b/q and rounding. PROBABILISTIC:
+    # a phase outside [-B, B] (per-slot prob ~ erfc(3/sqrt(2))/2 ~ 1.3e-3
+    # under the Gaussian approximation of the Irwin-Hall sum) lands
+    # outside the Chebyshev interval and that slot silently decodes to
+    # garbage; the reference accepts the same trade (its interval is
+    # heuristic too, ckksrns-schemeswitching.cpp). Raise cheb_deg and
+    # widen k_sigma below for a lower failure rate.
+    k_sigma = 3.0
+    B = int(np.ceil(k_sigma * np.sqrt(n_lwe / 3.0))) + 2
     cheb = adv.chebyshev_coefficients(
         lambda u: np.sin(2.0 * np.pi * u), -B, B, cheb_deg)
-    return SchemeSwitchPrecomp(s, D, E, B, cheb)
+    return SchemeSwitchPrecomp(s, D, B, cheb)
 
 
 def keygen(ctx: CKKSContext, bctx: binfhe.BinFHEContext,
@@ -145,11 +153,9 @@ def eval_ckks_to_fhew(ctx: CKKSContext, bctx: binfhe.BinFHEContext,
     # 1. slots-to-coeffs with the q0/p coefficient scale folded in
     delta1 = ct.scale * adv.scale_at(ctx, 0) / ctx.q_moduli[ct.towers - 1]
     factor = q0 / (p_msg * delta1)
-    ct_conj = ckks.eval_conjugate(ct, keys.conj)
     bkeys = boot.BootstrapKeys(keys.evk, keys.conj, keys.rot_stc)
-    out_d = boot._linear_transform(ctx, ct, pre.D * factor, bkeys)
-    out_e = boot._linear_transform(ctx, ct_conj, pre.E * factor, bkeys)
-    poly_ct = ckks.eval_add(out_d, out_e)
+    # the conjugate branch LT_E is identically zero (see stc_matrices)
+    poly_ct = boot._linear_transform(ctx, ct, pre.D * factor, bkeys)
 
     # 2. drop to the last tower and read the coefficient arrays
     poly_ct = ckks.level_reduce(poly_ct, poly_ct.towers - 1)

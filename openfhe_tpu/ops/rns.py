@@ -391,15 +391,19 @@ def _behz_mont_tables(q_moduli: tuple, bsk_moduli: tuple, m_tilde: int):
     mt_rep = [[m_tilde % q] for q in q_moduli]
     mt, mt_pre = _const_table(mt_rep, (len(q_moduli), 1),
                               [[q] for q in q_moduli])
-    # Q^{-1} mod m_tilde (scalar); the FastBConv overflow alpha < L is
-    # recovered EXACTLY (not just mod m_tilde) since L << m_tilde
-    neg_qinv_mt = pow(Q % m_tilde, -1, m_tilde)
+    # Q^{-1} mod m_tilde (scalar). The m_tilde channel sees
+    # (alpha - floor(m_tilde*x/Q)) * Q mod m_tilde, so multiplying by
+    # Q^{-1} recovers the overflow correction only MOD m_tilde: the
+    # final output is x or x - Q (mirror of the reference's centered
+    # x or x + Q, dcrtpoly-impl.h:2069 SmMRq), an extension error the
+    # downstream BEHZ flooring tolerates by construction.
+    qinv_mt = pow(Q % m_tilde, -1, m_tilde)
     q_modb = _const_table([[Q % b] for b in bsk_moduli], (k, 1),
                           [[b] for b in bsk_moduli])
     mt_inv_b = _const_table([[pow(m_tilde % b, -1, b)] for b in bsk_moduli],
                             (k, 1), [[b] for b in bsk_moduli])
     bsk_mod = make_mod_consts(bsk_moduli, trailing_dims=1)
-    return (mt, mt_pre), neg_qinv_mt, q_modb, mt_inv_b, bsk_mod
+    return (mt, mt_pre), qinv_mt, q_modb, mt_inv_b, bsk_mod
 
 
 def base_conv_q_to_bsk_montgomery(x: U64, q_moduli: tuple,
@@ -410,7 +414,7 @@ def base_conv_q_to_bsk_montgomery(x: U64, q_moduli: tuple,
     reduction removes the alpha*Q overflow (reference:
     FastBaseConvqToBskMontgomery, dcrtpoly-impl.h:2069)."""
     q_moduli, bsk_moduli = tuple(q_moduli), tuple(bsk_moduli)
-    (mt, mt_pre), neg_qinv_mt, (qb, qb_pre), (mtib, mtib_pre), bsk_mod = \
+    (mt, mt_pre), qinv_mt, (qb, qb_pre), (mtib, mtib_pre), bsk_mod = \
         _behz_mont_tables(q_moduli, bsk_moduli, m_tilde)
     q_mod = make_mod_consts(q_moduli, trailing_dims=1)
     xm = mul_mod_shoup(x, mt, mt_pre, q_mod.q)       # m_tilde * x mod Q
@@ -420,10 +424,11 @@ def base_conv_q_to_bsk_montgomery(x: U64, q_moduli: tuple,
     k = len(bsk_moduli)
     y_bsk = U64(conv.lo[:k], conv.hi[:k])
     y_mt = U64(conv.lo[k:], conv.hi[k:])             # [1, n], < m_tilde
-    # alpha = y_mt * (-Q^{-1}) mod m_tilde ... value = alpha in [0, L)
+    # alpha_hat = y_mt * Q^{-1} mod m_tilde: the overflow correction
+    # known only mod m_tilde (see _behz_mont_tables) -> out is x or x - Q
     mt_mod = make_mod_consts((m_tilde,), trailing_dims=1)
-    nq, nq_pre = _const_table([[neg_qinv_mt]], (1, 1), [[m_tilde]])
-    alpha = mul_mod_shoup(y_mt, nq, nq_pre, mt_mod.q)  # [1, n], exact < L
+    nq, nq_pre = _const_table([[qinv_mt]], (1, 1), [[m_tilde]])
+    alpha = mul_mod_shoup(y_mt, nq, nq_pre, mt_mod.q)  # [1, n]
     # out_j = (y_bsk_j - alpha * Q) * m_tilde^{-1} mod b_j
     aq = mul_mod_shoup(U64(jnp.broadcast_to(alpha.lo, y_bsk.lo.shape),
                            jnp.broadcast_to(alpha.hi, y_bsk.hi.shape)),

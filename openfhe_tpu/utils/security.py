@@ -1,6 +1,7 @@
 """HE-standard lattice security tables and parameter validation.
 
-Role of the reference's ``lattice/stdlatticeparms.h:63-95``: the
+Role of the reference's ``lattice/stdlatticeparms.h`` + the table in
+``src/core/lib/lattice/stdlatticeparms.cpp:94-212``: the
 HomomorphicEncryption.org standard tables mapping (secret distribution,
 security level, ring dimension) -> maximum log2(Q*P) for which the RLWE
 instance meets the target security. ``GenCryptoContext`` in the reference
@@ -8,8 +9,14 @@ validates the generated modulus chain against these tables and bumps the
 ring dimension when needed; ``gen_context`` here does the same when a
 ``security_level`` is requested.
 
-Values are the published HE-standard numbers (the same constants compiled
-into the reference; they are public-domain standard data, not code).
+Rows are copied verbatim from the reference's ``stdlatticeparms.cpp``
+(public-domain standard data). The table's coverage is exactly the
+reference's: uniform secrets stop at n=32768, error/ternary stop at
+n=65536 classic (no 65536-quantum or 131072 rows exist). Lookup
+semantics mirror ``StdLatticeParm::FindMaxQ`` (exact ring-dim lookup,
+0 when absent -> any modulus rejected) and ``FindRingDim`` (smallest
+table dim admitting log2(QP); doubles the largest dim when the whole
+table is exceeded), ``stdlatticeparms.h:146-172``.
 """
 
 from __future__ import annotations
@@ -33,34 +40,44 @@ class SecretDist(str, Enum):
     UNIFORM = "uniform"
 
 
-_RING_DIMS = (1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072)
+_LC, _MC, _HC = (SecurityLevel.HEStd_128_classic, SecurityLevel.HEStd_192_classic,
+                 SecurityLevel.HEStd_256_classic)
+_LQ, _MQ, _HQ = (SecurityLevel.HEStd_128_quantum, SecurityLevel.HEStd_192_quantum,
+                 SecurityLevel.HEStd_256_quantum)
 
-# maxlogq[dist][level] = per-ring-dim max log2(QP), index-aligned with
-# _RING_DIMS. Source: HE standard v1.1 tables (stdlatticeparms.h:63-95).
+# _MAXLOGQ[dist][level] = {ring_dim: max log2(QP)}. Every row below is a
+# verbatim StdLatticeParm(...) entry from stdlatticeparms.cpp:94-212;
+# dims absent there are absent here.
 _MAXLOGQ = {
-    SecretDist.UNIFORM_TERNARY: {
-        SecurityLevel.HEStd_128_classic: (27, 54, 109, 218, 438, 881, 1772, 3576),
-        SecurityLevel.HEStd_192_classic: (19, 37, 75, 152, 305, 611, 1228, 2474),
-        SecurityLevel.HEStd_256_classic: (14, 29, 58, 118, 237, 476, 956, 1923),
-        SecurityLevel.HEStd_128_quantum: (25, 51, 101, 202, 411, 827, 1665, 3358),
-        SecurityLevel.HEStd_192_quantum: (17, 35, 70, 141, 284, 570, 1147, 2304),
-        SecurityLevel.HEStd_256_quantum: (13, 27, 54, 109, 220, 443, 890, 1792),
+    SecretDist.UNIFORM: {
+        _LC: {1024: 29, 2048: 56, 4096: 111, 8192: 220, 16384: 440, 32768: 880},
+        _MC: {1024: 21, 2048: 39, 4096: 77, 8192: 154, 16384: 307, 32768: 612},
+        _HC: {1024: 16, 2048: 31, 4096: 60, 8192: 120, 16384: 239, 32768: 478},
+        _LQ: {1024: 27, 2048: 53, 4096: 103, 8192: 206, 16384: 413, 32768: 829},
+        _MQ: {1024: 19, 2048: 37, 4096: 72, 8192: 143, 16384: 286, 32768: 573},
+        _HQ: {1024: 15, 2048: 29, 4096: 56, 8192: 111, 16384: 222, 32768: 445},
     },
     SecretDist.ERROR: {
-        SecurityLevel.HEStd_128_classic: (29, 56, 111, 220, 440, 883, 1774, 3578),
-        SecurityLevel.HEStd_192_classic: (21, 39, 77, 154, 307, 613, 1230, 2476),
-        SecurityLevel.HEStd_256_classic: (16, 31, 60, 120, 239, 478, 958, 1925),
-        SecurityLevel.HEStd_128_quantum: (27, 53, 103, 204, 413, 829, 1667, 3360),
-        SecurityLevel.HEStd_192_quantum: (19, 37, 72, 143, 286, 572, 1149, 2306),
-        SecurityLevel.HEStd_256_quantum: (15, 29, 56, 111, 222, 445, 892, 1794),
+        _LC: {1024: 29, 2048: 56, 4096: 111, 8192: 220, 16384: 440, 32768: 883,
+              65536: 1774},
+        _MC: {1024: 21, 2048: 39, 4096: 77, 8192: 154, 16384: 307, 32768: 613,
+              65536: 1230},
+        _HC: {1024: 16, 2048: 31, 4096: 60, 8192: 120, 16384: 239, 32768: 478,
+              65536: 958},
+        _LQ: {1024: 27, 2048: 53, 4096: 103, 8192: 206, 16384: 413, 32768: 829},
+        _MQ: {1024: 19, 2048: 37, 4096: 72, 8192: 143, 16384: 286, 32768: 573},
+        _HQ: {1024: 15, 2048: 29, 4096: 56, 8192: 111, 16384: 222, 32768: 445},
     },
-    SecretDist.UNIFORM: {
-        SecurityLevel.HEStd_128_classic: (29, 56, 111, 220, 440, 883, 1774, 3578),
-        SecurityLevel.HEStd_192_classic: (21, 39, 77, 154, 307, 613, 1230, 2476),
-        SecurityLevel.HEStd_256_classic: (16, 31, 60, 120, 239, 478, 958, 1925),
-        SecurityLevel.HEStd_128_quantum: (27, 53, 103, 204, 413, 829, 1667, 3360),
-        SecurityLevel.HEStd_192_quantum: (19, 37, 72, 143, 286, 572, 1149, 2306),
-        SecurityLevel.HEStd_256_quantum: (15, 29, 56, 111, 222, 445, 892, 1794),
+    SecretDist.UNIFORM_TERNARY: {
+        _LC: {1024: 27, 2048: 54, 4096: 109, 8192: 218, 16384: 438, 32768: 881,
+              65536: 1772},
+        _MC: {1024: 19, 2048: 37, 4096: 75, 8192: 152, 16384: 305, 32768: 611,
+              65536: 1228},
+        _HC: {1024: 14, 2048: 29, 4096: 58, 8192: 118, 16384: 237, 32768: 476,
+              65536: 956},
+        _LQ: {1024: 25, 2048: 51, 4096: 101, 8192: 202, 16384: 411, 32768: 827},
+        _MQ: {1024: 17, 2048: 35, 4096: 70, 8192: 141, 16384: 284, 32768: 571},
+        _HQ: {1024: 13, 2048: 27, 4096: 54, 8192: 109, 16384: 220, 32768: 443},
     },
 }
 
@@ -69,42 +86,33 @@ def max_log_q(n: int, level: SecurityLevel,
               dist: SecretDist = SecretDist.UNIFORM_TERNARY) -> int:
     """Maximum log2(QP) permitted at ring dimension ``n`` for ``level``.
 
-    Ring dims below the table floor inherit the 1024 entry scaled down is
-    NOT allowed by the standard — we return 0 (insecure at any modulus),
-    matching the reference's behavior of rejecting such configs.
+    Exact-dimension lookup: a ring dim with no table row (too small, too
+    large, or not a standard power of two) returns 0 — i.e. no modulus is
+    certifiably secure — exactly as ``StdLatticeParm::FindMaxQ``
+    (stdlatticeparms.h:146-155) returns 0 on a missed map lookup.
     """
     level = SecurityLevel(level)
     dist = SecretDist(dist)
     if level == SecurityLevel.HEStd_NotSet:
         raise ValueError("max_log_q undefined for HEStd_NotSet")
-    table = _MAXLOGQ[dist][level]
-    if n < _RING_DIMS[0]:
-        return 0
-    best = 0
-    for dim, logq in zip(_RING_DIMS, table):
-        if n >= dim:
-            best = logq
-        else:
-            break
-    return best
+    return _MAXLOGQ[dist][level].get(n, 0)
 
 
 def min_ring_dim(log_qp: int, level: SecurityLevel,
                  dist: SecretDist = SecretDist.UNIFORM_TERNARY) -> int:
     """Smallest standard ring dimension whose table row admits log2(QP)
-    = ``log_qp`` at ``level`` (role of the ring-dim bump loop in the
-    reference's ``ParamsGen*`` implementations)."""
+    = ``log_qp`` at ``level``; doubles the largest table dim when the
+    whole table is exceeded (``StdLatticeParm::FindRingDim``,
+    stdlatticeparms.h:157-172)."""
     level = SecurityLevel(level)
     dist = SecretDist(dist)
     if level == SecurityLevel.HEStd_NotSet:
         return 0
     table = _MAXLOGQ[dist][level]
-    for dim, maxq in zip(_RING_DIMS, table):
-        if log_qp <= maxq:
+    for dim in sorted(table):
+        if log_qp <= table[dim]:
             return dim
-    raise ValueError(
-        f"log2(QP)={log_qp} exceeds the HE-standard table even at "
-        f"n={_RING_DIMS[-1]} for {level.value}")
+    return 2 * max(table)
 
 
 def validate(n: int, log_qp: int, level: SecurityLevel,

@@ -115,6 +115,10 @@ def save(obj: Any, path: str) -> None:
         meta.update(kind="binfhe_bootstrap_key")
         for name in ("ek_lo", "ek_hi", "ks_a", "ks_b"):
             arrays[name] = np.asarray(getattr(obj, name))
+    elif t == "LMKCDEYKey":
+        meta.update(kind="binfhe_lmkcdey_key")
+        for name in ("ek_lo", "ek_hi", "ak_lo", "ak_hi", "ks_a", "ks_b"):
+            arrays[name] = np.asarray(getattr(obj, name))
     else:
         raise TypeError(f"don't know how to serialize {mod}.{t}")
 
@@ -189,4 +193,10 @@ def load(path: str) -> Any:
                                    jnp.asarray(arrays["ek_hi"]),
                                    jnp.asarray(arrays["ks_a"]),
                                    jnp.asarray(arrays["ks_b"]))
+    if kind == "binfhe_lmkcdey_key":
+        from ..models import binfhe
+        import jax.numpy as jnp
+        return binfhe.LMKCDEYKey(*(jnp.asarray(arrays[n]) for n in
+                                   ("ek_lo", "ek_hi", "ak_lo", "ak_hi",
+                                    "ks_a", "ks_b")))
     raise TypeError(f"unknown serialized kind {kind}")

@@ -75,6 +75,8 @@ def test_plain_ops_exact(setup):
 
 
 def test_automorphism_exact(setup):
+    import numpy as np
+    from openfhe_tpu.encoding import packed_slot_perm
     ctx, pk, sk, _ = setup
     v = rand_slots(ctx)
     ct = bfv.encrypt(ctx, pk, v, RNG)
@@ -82,7 +84,28 @@ def test_automorphism_exact(setup):
     rk = bfv.rot_keygen(ctx, sk, [k], RNG)[k]
     out = bfv.decrypt(ctx, sk, bfv.eval_automorphism(ct, k, rk))
     perm = eval_perm(ctx.n, k)
-    assert out == [v[perm[j]] for j in range(ctx.n)]
+    perm_u = packed_slot_perm(ctx.n)
+    inv = np.argsort(perm_u)
+    assert out == [v[inv[perm[perm_u[j]]]] for j in range(ctx.n)]
+
+
+def test_rotate_and_sum(setup):
+    """EvalAtIndex row-roll + EvalSum over all slots (reference:
+    EvalAtIndex / EvalSum for BFV packed plaintexts)."""
+    import numpy as np
+    ctx, pk, sk, _ = setup
+    h = ctx.n // 2
+    v = rand_slots(ctx)
+    ct = bfv.encrypt(ctx, pk, v, RNG)
+    r = 2
+    k = bfv.rotation_galois(ctx.n, r)
+    rk = bfv.rot_keygen(ctx, sk, [k], RNG)[k]
+    out = bfv.decrypt(ctx, sk, bfv.eval_rotate(ct, r, rk))
+    assert out == list(np.roll(v[:h], -r)) + list(np.roll(v[h:], -r))
+    ks = bfv.sum_galois_indices(ctx.n)
+    rks = bfv.rot_keygen(ctx, sk, ks, RNG)
+    s = bfv.decrypt(ctx, sk, bfv.eval_sum(ct, rks))
+    assert s == [sum(v) % ctx.t] * ctx.n
 
 
 def test_eval_mult_behz_matches_hps():

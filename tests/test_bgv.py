@@ -93,13 +93,50 @@ def test_plain_ops_exact(setup):
 
 
 def test_automorphism_permutes_slots(setup):
-    """sigma_k permutes packed slots by exactly the library's eval_perm
-    (itself validated against direct polynomial evaluation)."""
+    """sigma_k permutes packed slots by eval_perm conjugated with the
+    packed 5-orbit slot order (itself validated against direct polynomial
+    evaluation)."""
+    import numpy as np
+    from openfhe_tpu.encoding import packed_slot_perm
     ctx, pk, sk, _ = setup
     v = rand_slots(ctx)
     ct = bgv.encrypt(ctx, pk, v, RNG)
+    perm_u = packed_slot_perm(ctx.n)
+    inv = np.argsort(perm_u)
     for k in (5, 25, 2 * ctx.n - 1):
         rk = bgv.rot_keygen(ctx, sk, [k], RNG)[k]
         out = bgv.decrypt(ctx, sk, bgv.eval_automorphism(ct, k, rk))
         perm = eval_perm(ctx.n, k)
-        assert out == [v[perm[j]] for j in range(ctx.n)], f"k={k}"
+        want = [v[inv[perm[perm_u[j]]]] for j in range(ctx.n)]
+        assert out == want, f"k={k}"
+
+
+def test_rotate_rolls_rows(setup):
+    """EvalAtIndex semantics: both packed rows roll left by r, and the
+    row flip swaps them (reference: PackedEncoding rotation contract)."""
+    import numpy as np
+    ctx, pk, sk, _ = setup
+    h = ctx.n // 2
+    v = rand_slots(ctx)
+    ct = bgv.encrypt(ctx, pk, v, RNG)
+    for r in (1, 3):
+        k = bgv.rotation_galois(ctx.n, r)
+        rk = bgv.rot_keygen(ctx, sk, [k], RNG)[k]
+        out = bgv.decrypt(ctx, sk, bgv.eval_rotate(ct, r, rk))
+        want = list(np.roll(v[:h], -r)) + list(np.roll(v[h:], -r))
+        assert out == want, f"r={r}"
+    fk = 2 * ctx.n - 1
+    rk = bgv.rot_keygen(ctx, sk, [fk], RNG)[fk]
+    out = bgv.decrypt(ctx, sk, bgv.eval_flip_rows(ct, rk))
+    assert out == v[h:] + v[:h]
+
+
+def test_eval_sum_all_slots(setup):
+    ctx, pk, sk, _ = setup
+    v = rand_slots(ctx)
+    ct = bgv.encrypt(ctx, pk, v, RNG)
+    ks = bgv.sum_galois_indices(ctx.n)
+    rk = bgv.rot_keygen(ctx, sk, ks, RNG)
+    out = bgv.decrypt(ctx, sk, bgv.eval_sum(ct, rk))
+    want = sum(v) % ctx.t
+    assert out == [want] * ctx.n

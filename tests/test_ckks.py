@@ -111,3 +111,27 @@ def test_conjugate(setup):
     ck = ckks.conj_keygen(ctx, sk, RNG)
     out = ckks.decrypt(ctx, sk, ckks.eval_conjugate(ct, ck))
     assert np.max(np.abs(out - np.conj(v))) < 1e-4
+
+
+def test_fast_rotation_hoisting():
+    """Hoisted rotations (reference: EvalFastRotationPrecompute /
+    EvalFastRotation): one digit decomposition shared by many rotations
+    must match the per-rotation keyswitch path."""
+    rng = np.random.default_rng(31)
+    params = ckks.CKKSParams(ring_dim=128, mult_depth=2,
+                             scaling_mod_size=40, first_mod_size=50, dnum=2)
+    ctx = ckks.gen_context(params)
+    pk, sk = ckks.keygen(ctx, rng)
+    rots = [1, 3, 7]
+    rk = ckks.rot_keygen(ctx, sk, rots, rng)
+    conj = ckks.conj_keygen(ctx, sk, rng)
+    v = (rng.normal(size=ctx.params.num_slots)
+         + 1j * rng.normal(size=ctx.params.num_slots))
+    ct = ckks.encrypt(ctx, pk, v, rng)
+    digits = ckks.fast_rotation_precompute(ct, rk[1])
+    for r in rots:
+        fast = ckks.decrypt(ctx, sk, ckks.eval_fast_rotate(ct, r, rk[r],
+                                                           digits))
+        assert np.max(np.abs(fast - np.roll(v, -r))) < 1e-4
+    fc = ckks.decrypt(ctx, sk, ckks.eval_fast_conjugate(ct, conj, digits))
+    assert np.max(np.abs(fc - np.conj(v))) < 1e-4

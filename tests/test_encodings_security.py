@@ -15,9 +15,29 @@ class TestSecurityTables:
         assert security.max_log_q(16384, SecurityLevel.HEStd_192_quantum) == 284
         assert security.max_log_q(32768, SecurityLevel.HEStd_256_classic) == 476
 
-    def test_intermediate_dim_rounds_down(self):
-        # non-standard dim inherits the next-lower row
-        assert security.max_log_q(12288, SecurityLevel.HEStd_128_classic) == 218
+    def test_non_table_dim_rejected(self):
+        # exact-dim lookup: a dim with no table row admits no modulus
+        # (FindMaxQ returns 0 on map miss, stdlatticeparms.h:151-154)
+        assert security.max_log_q(12288, SecurityLevel.HEStd_128_classic) == 0
+        # uniform secrets have no 65536 row in the reference table
+        assert security.max_log_q(
+            65536, SecurityLevel.HEStd_128_classic, SecretDist.UNIFORM) == 0
+
+    def test_reference_spot_rows(self):
+        # verbatim rows from stdlatticeparms.cpp
+        assert security.max_log_q(
+            32768, SecurityLevel.HEStd_128_classic, SecretDist.UNIFORM) == 880
+        assert security.max_log_q(
+            32768, SecurityLevel.HEStd_192_classic, SecretDist.UNIFORM) == 612
+        assert security.max_log_q(
+            32768, SecurityLevel.HEStd_192_quantum) == 571
+        assert security.max_log_q(
+            65536, SecurityLevel.HEStd_128_classic, SecretDist.ERROR) == 1774
+
+    def test_ring_dim_doubles_past_table(self):
+        # FindRingDim returns 2*n beyond the largest row
+        assert security.min_ring_dim(
+            2000, SecurityLevel.HEStd_128_classic) == 131072
 
     def test_min_ring_dim(self):
         assert security.min_ring_dim(100, SecurityLevel.HEStd_128_classic) == 4096

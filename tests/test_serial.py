@@ -83,3 +83,24 @@ def test_binfhe_roundtrip(tmp_path):
     out = binfhe.eval_gate(ctx, "AND", bk2, ct,
                            binfhe.encrypt(ctx, sk, 1, rng))
     assert binfhe.decrypt(ctx, sk, out) == 1
+
+
+def test_binfhe_lmkcdey_key_roundtrip(tmp_path):
+    """LMKCDEYKey (ek/ak/ks arrays) serialization round-trip."""
+    import numpy as np
+    from openfhe_tpu.models import binfhe
+    from openfhe_tpu.utils import serial
+    rng = np.random.default_rng(6)
+    ctx = binfhe.gen_context(binfhe.toy_lmk_params())
+    sk = binfhe.keygen(ctx, rng)
+    bk = binfhe.bootstrap_keygen(ctx, sk, rng)
+    assert type(bk).__name__ == "LMKCDEYKey"
+    p = tmp_path / "lmk.npz"
+    serial.save(bk, str(p)); bk2 = serial.load(str(p))
+    for name in ("ek_lo", "ek_hi", "ak_lo", "ak_hi", "ks_a", "ks_b"):
+        assert np.array_equal(np.asarray(getattr(bk2, name)),
+                              np.asarray(getattr(bk, name)))
+    ct0 = binfhe.encrypt(ctx, sk, 0, rng)
+    ct1 = binfhe.encrypt(ctx, sk, 1, rng)
+    out = binfhe.eval_gate(ctx, "OR", bk2, ct0, ct1)
+    assert binfhe.decrypt(ctx, sk, out) == 1
