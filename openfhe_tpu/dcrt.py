@@ -194,13 +194,85 @@ def mul_tower_const(a: RnsPoly, consts) -> RnsPoly:
 def to_eval(a: RnsPoly) -> RnsPoly:
     if a.fmt == Format.EVAL:
         return a
-    return a.with_data(ntt.forward(a.basis.plan, a.data), fmt=Format.EVAL)
+    fn = _fmt_jit(a.basis, True, _DNTT_CFG["mesh"], _DNTT_CFG["min_n"])
+    return a.with_data(fn(a.data), fmt=Format.EVAL)
 
 
 def to_coeff(a: RnsPoly) -> RnsPoly:
     if a.fmt == Format.COEFF:
         return a
-    return a.with_data(ntt.inverse(a.basis.plan, a.data), fmt=Format.COEFF)
+    fn = _fmt_jit(a.basis, False, _DNTT_CFG["mesh"], _DNTT_CFG["min_n"])
+    return a.with_data(fn(a.data), fmt=Format.COEFF)
+
+
+# --- distributed-NTT routing -------------------------------------------------
+#
+# Opt-in: set_distributed_ntt(mesh) makes every to_eval/to_coeff at ring
+# dimension >= min_n run the four-step coefficient-sharded NTT (one ICI
+# all-to-all at the transpose) instead of the stage-pipelined single-shard
+# transform. Both paths are bit-exact and share the same slot-order contract
+# (parallel/dntt.py), so schemes need no changes. The config is read at
+# trace time; changing it invalidates the dispatch cache key.
+
+_DNTT_CFG = {"mesh": None, "min_n": 4096}
+
+
+def set_distributed_ntt(mesh, min_n: int = 4096) -> None:
+    """Route SwitchFormat NTTs over a ("tower", "coeff") mesh (None resets).
+
+    The TPU answer to the butterfly-stage data dependence the reference
+    handles only on-host (transformnat-impl.h:197-238; SURVEY §2.7
+    "host is the interconnect").
+
+    Clears jit caches: the config is read at trace time (also inside the
+    jitted keyswitch entry points via ntt_forward_data), so traces built
+    under the previous config must not be reused.
+    """
+    changed = (_DNTT_CFG["mesh"] is not mesh or _DNTT_CFG["min_n"] != min_n)
+    _DNTT_CFG["mesh"] = mesh
+    _DNTT_CFG["min_n"] = min_n
+    if changed:
+        jax.clear_caches()
+
+
+def ntt_forward_data(basis: RnsBasis, data: U64) -> U64:
+    """Raw-limb forward NTT over `basis` honoring the distributed-NTT
+    config (trace-time dispatch; safe to call inside jit). Supports
+    arbitrary leading batch dims with towers on axis -2."""
+    mesh = _DNTT_CFG["mesh"]
+    if mesh is not None and basis.n >= _DNTT_CFG["min_n"]:
+        from .parallel import dntt
+
+        n1, n2 = dntt.split_factors(basis.n)
+        return dntt.four_step_forward(data, n1, n2, basis.moduli, mesh=mesh)
+    return ntt.forward(basis.plan, data)
+
+
+def ntt_inverse_data(basis: RnsBasis, data: U64) -> U64:
+    """Raw-limb inverse NTT over `basis` (see ntt_forward_data)."""
+    mesh = _DNTT_CFG["mesh"]
+    if mesh is not None and basis.n >= _DNTT_CFG["min_n"]:
+        from .parallel import dntt
+
+        n1, n2 = dntt.split_factors(basis.n)
+        return dntt.four_step_inverse(data, n1, n2, basis.moduli, mesh=mesh)
+    return ntt.inverse(basis.plan, data)
+
+
+@lru_cache(maxsize=None)
+def _fmt_jit(basis: RnsBasis, forward: bool, mesh, min_n: int):
+    """Jitted SwitchFormat transform, keyed on basis AND the distributed
+    config so flipping set_distributed_ntt never reuses a stale trace."""
+    if mesh is not None and basis.n >= min_n:
+        from .parallel import dntt
+
+        n1, n2 = dntt.split_factors(basis.n)
+        step = dntt.four_step_forward if forward else dntt.four_step_inverse
+        return jax.jit(
+            lambda d: step(d, n1, n2, basis.moduli, mesh=mesh))
+    plan = basis.plan
+    op = ntt.forward if forward else ntt.inverse
+    return jax.jit(lambda d: op(plan, d))
 
 
 def automorphism(a: RnsPoly, k: int) -> RnsPoly:
@@ -220,6 +292,6 @@ sub = jax.jit(sub)
 neg = jax.jit(neg)
 mul = jax.jit(mul)
 mul_scalar_int = jax.jit(mul_scalar_int, static_argnums=1)
-to_eval = jax.jit(to_eval)
-to_coeff = jax.jit(to_coeff)
+# to_eval/to_coeff dispatch to per-(basis, distributed-config) jitted
+# transforms via _fmt_jit — not re-jitted here.
 automorphism = jax.jit(automorphism, static_argnums=1)

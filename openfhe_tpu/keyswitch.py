@@ -259,8 +259,10 @@ def hoist_decompose(params: KSParams, c: RnsPoly) -> U64:
     ndig = params.num_digits(lvl)
     eb = ext_basis(params, lvl)
 
-    c_coeff = ntt_ops.inverse(c.basis.plan, c.data)  # [lvl, n]
-    digits = []
+    from . import dcrt as _dcrt
+
+    c_coeff = _dcrt.ntt_inverse_data(c.basis, c.data)  # [lvl, n]
+    rows_lo, rows_hi = [], []
     for j in range(ndig):
         s, e = params.digit_range(j, lvl)
         part = U64(c_coeff.lo[s:e], c_coeff.hi[s:e])
@@ -268,11 +270,13 @@ def hoist_decompose(params: KSParams, c: RnsPoly) -> U64:
         comp_moduli = q_act[:s] + q_act[e:] + params.p_moduli
         conv = rns.approx_switch_basis(part, part_moduli, comp_moduli)
         # assemble rows in basis order [q_0..q_{lvl-1}, P]
-        lo = jnp.concatenate([conv.lo[:s], part.lo, conv.lo[s:]], axis=0)
-        hi = jnp.concatenate([conv.hi[:s], part.hi, conv.hi[s:]], axis=0)
-        digits.append(ntt_ops.forward(eb.plan, U64(lo, hi)))
-    return U64(jnp.stack([d.lo for d in digits]),
-               jnp.stack([d.hi for d in digits]))
+        rows_lo.append(jnp.concatenate([conv.lo[:s], part.lo, conv.lo[s:]],
+                                       axis=0))
+        rows_hi.append(jnp.concatenate([conv.hi[:s], part.hi, conv.hi[s:]],
+                                       axis=0))
+    # one batched [ndig, lvl+K, n] forward NTT instead of ndig separate ones
+    stacked = U64(jnp.stack(rows_lo), jnp.stack(rows_hi))
+    return _dcrt.ntt_forward_data(eb, stacked)
 
 
 def hoist_inner_product(key: KSKey, digits: U64, basis: RnsBasis
@@ -308,13 +312,15 @@ def hoist_inner_product(key: KSKey, digits: U64, basis: RnsBasis
             acc1 = add_mod(acc1, t1, eb.mod.q)
 
     # mod-down by P: coeff domain, split Q/P parts
+    from . import dcrt as _dcrt
+
     def mod_down(acc: U64) -> U64:
-        cc = ntt_ops.inverse(eb.plan, acc)
+        cc = _dcrt.ntt_inverse_data(eb, acc)
         xq = U64(cc.lo[:lvl], cc.hi[:lvl])
         xp = U64(cc.lo[lvl:], cc.hi[lvl:])
         down = rns.approx_mod_down(xq, xp, q_act, params.p_moduli,
                                    params.plaintext_correction)
-        return ntt_ops.forward(basis.plan, down)
+        return _dcrt.ntt_forward_data(basis, down)
 
     d0 = make_poly(basis, mod_down(acc0), Format.EVAL)
     d1 = make_poly(basis, mod_down(acc1), Format.EVAL)

@@ -41,9 +41,31 @@ def make_mesh(n_devices: int | None = None,
     return Mesh(arr, ("tower", "coeff"))
 
 
-def poly_sharding(mesh: Mesh) -> NamedSharding:
-    """Sharding for [L, n] tower-major polynomial limb arrays."""
-    return NamedSharding(mesh, P("tower", "coeff"))
+def poly_sharding(mesh: Mesh, shape: Sequence[int] | None = None
+                  ) -> NamedSharding:
+    """Sharding for [L, n] tower-major polynomial limb arrays.
+
+    With a shape, axes that do not divide the mesh axis degrade to
+    replicated (device_put requires exact divisibility; this mirrors
+    shard_poly_pytree so helpers never hard-fail on small tower counts).
+    """
+    if shape is None:
+        return NamedSharding(mesh, P("tower", "coeff"))
+    spec = [None] * len(shape)
+    if shape[-1] % mesh.shape["coeff"] == 0:
+        spec[-1] = "coeff"
+    if len(shape) >= 2 and shape[-2] % mesh.shape["tower"] == 0:
+        spec[-2] = "tower"
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_limbs(x, mesh: Mesh):
+    """device_put a U64 limb pair (or any .lo/.hi holder) with tower/coeff
+    sharding where the dimensions divide; non-divisible axes replicate."""
+    from ..ops.limb import U64
+
+    sh = poly_sharding(mesh, x.lo.shape)
+    return U64(jax.device_put(x.lo, sh), jax.device_put(x.hi, sh))
 
 
 def digit_sharding(mesh: Mesh) -> NamedSharding:

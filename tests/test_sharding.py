@@ -72,7 +72,7 @@ def test_ckks_mult_relin_sharded_bit_equality(mesh8):
 
 def test_four_step_ntt_bit_equality(mesh8):
     """Distributed four-step NTT (local NTTs + sharded transpose + twist)
-    must be bit-exact vs the single-device transform."""
+    must be bit-exact vs the single-device transform, forward AND inverse."""
     from openfhe_tpu.parallel import dntt
 
     n1, n2 = 32, 16
@@ -84,10 +84,54 @@ def test_four_step_ntt_bit_equality(mesh8):
     x = limb.from_int_array(np.asarray(rows, dtype=object))
     ref = ntt.forward_jit(plan, x)
 
-    xs = limb.U64(jax.device_put(x.lo, pmesh.poly_sharding(mesh8)),
-                  jax.device_put(x.hi, pmesh.poly_sharding(mesh8)))
-    got4 = jax.jit(
+    xs = pmesh.shard_limbs(x, mesh8)
+    got = jax.jit(
         lambda a: dntt.four_step_forward(a, n1, n2, moduli, mesh=mesh8))(xs)
-    got = dntt.standard_order(got4, n1, n2)
     assert np.array_equal(np.asarray(ref.lo), np.asarray(got.lo))
     assert np.array_equal(np.asarray(ref.hi), np.asarray(got.hi))
+
+    # inverse: bit-exact vs ntt.inverse AND a true round-trip
+    ref_inv = ntt.inverse_jit(plan, ref)
+    got_inv = jax.jit(
+        lambda a: dntt.four_step_inverse(a, n1, n2, moduli, mesh=mesh8))(got)
+    assert np.array_equal(np.asarray(ref_inv.lo), np.asarray(got_inv.lo))
+    assert np.array_equal(np.asarray(x.lo), np.asarray(got_inv.lo))
+    assert np.array_equal(np.asarray(x.hi), np.asarray(got_inv.hi))
+
+
+def test_four_step_output_order_is_standard():
+    """Executable proof of the slot-order contract: four-step row-major
+    (c1, c2) order equals ntt.forward's bit-reversed order."""
+    from openfhe_tpu.parallel import dntt
+
+    for n1, n2 in [(32, 16), (16, 16), (64, 8)]:
+        assert np.array_equal(dntt.output_perm(n1, n2), np.arange(n1 * n2))
+
+
+def test_distributed_ntt_scheme_integration(mesh8):
+    """set_distributed_ntt routes dcrt.to_eval/to_coeff through the
+    four-step path; a full CKKS mult+relin+rescale step stays bit-exact."""
+    params = ckks.CKKSParams(ring_dim=512, mult_depth=2, scaling_mod_size=40,
+                             first_mod_size=50, dnum=1)
+    ctx = ckks.gen_context(params)
+    pk, sk = ckks.keygen(ctx, RNG)
+    evk = ckks.relin_keygen(ctx, sk, RNG)
+    v = RNG.normal(size=8)
+    ct1 = ckks.encrypt(ctx, pk, v, RNG)
+    ct2 = ckks.encrypt(ctx, pk, v, RNG)
+
+    step = lambda a, b, k: ckks.rescale(ckks.eval_mult_relin(a, b, k))
+    ref = jax.jit(step)(ct1, ct2, evk)
+
+    dcrt.set_distributed_ntt(mesh8, min_n=512)
+    try:
+        s_ct1 = pmesh.shard_poly_pytree(ct1, mesh8)
+        s_ct2 = pmesh.shard_poly_pytree(ct2, mesh8)
+        s_evk = pmesh.shard_poly_pytree(evk, mesh8)
+        out = jax.jit(step)(s_ct1, s_ct2, s_evk)
+    finally:
+        dcrt.set_distributed_ntt(None)
+
+    for pr, po in zip(ref.polys, out.polys):
+        assert np.array_equal(np.asarray(pr.lo), np.asarray(po.lo))
+        assert np.array_equal(np.asarray(pr.hi), np.asarray(po.hi))
