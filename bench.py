@@ -3,32 +3,39 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Primary metric: negacyclic NTT throughput at ring dim 2^16 over an 8-tower
-60-bit chain (tower-NTTs per second per chip), measured IN-GRAPH: the timed
-loop is a lax.fori_loop chaining BENCH_INNER forward transforms inside ONE
-jit, so the number reflects device execution, not the Python/remote-tunnel
-dispatch rate (the round-2 harness measured 20 sequential dispatches through
-the axon tunnel and collapsed under host load — VERDICT r02 weak #1).
-Baseline: the reference's published NTTTransform4096 = 47.6 us
-(benchmark/src/README.md:51) scaled n log n to 2^16 => ~1015 us per
-tower-NTT => ~985 tower-NTTs/s on the reference CPU.
-vs_baseline = our_value / baseline_value (higher is better).
+Timing methodology (round 3 — the round-1/2 harnesses were invalid):
+``jax.block_until_ready`` does NOT actually block through the remote
+``axon`` PJRT tunnel, so any wall-clock around dispatches measures enqueue
+rate, not device time (this is why BENCH_r01/r02 reported 44-250 us for a
+transform whose true device time was ~1 ms). Here every measurement
 
-Also reported in the JSON line:
-  ckks_multrelin_p50_us  — dispatch-level p50 of jitted EvalMult+Relin at
-                           n=2^16, 8 towers (north-star; reference
-                           CKKS_MultRelin = 3160 us at its 4k default)
-  ckks_multrelin_graph_us — in-graph per-iteration time of the same op
-  ckks_rotate_graph_us   — in-graph per-iteration EvalRotate(1)
-  ntt_dispatch_us        — per-call NTT latency including dispatch chain
-  hbm_gbps               — effective HBM bandwidth assuming the minimal
-                           unfused schedule (log2(n) stages x 16 B/elem)
+  1. runs the op inside ONE jit as a lax.fori_loop with trip count k,
+  2. forces a real device->host readback of one element (np.asarray),
+  3. is taken at two trip counts k_small/k_big; the reported per-op time is
+     the MARGINAL cost (t_big - t_small) / (k_big - k_small), which cancels
+     the dispatch + readback round-trip exactly.
+
+Primary metric: negacyclic NTT throughput at ring dim 2^16 over an 8-tower
+60-bit chain (tower-NTTs per second per chip), on the four-step blocked
+transform (ops/ntt.py FOUR_STEP_MIN_N). Baseline: the reference's published
+NTTTransform4096 = 47.6 us (benchmark/src/README.md:51) scaled n log n to
+2^16 => ~1015 us per tower-NTT => ~985 tower-NTTs/s on the reference CPU.
+vs_baseline = ours / baseline (higher is better).
+
+Also in the JSON line:
+  intt_us                 — inverse transform per call [towers, n]
+  ckks_multrelin_us       — marginal EvalMult+Relin at n=2^16, 8 towers
+                            (north-star; reference CKKS_MultRelin = 3160 us
+                            at its 4k default — context, not the ratio)
+  ckks_rotate_us          — marginal EvalRotate(1)
+  hbm_gbps                — effective bandwidth assuming the minimal
+                            four-step schedule (~4 passes x 16 B/elem)
 
 Env knobs:
   BENCH_RING_LOG (default 16), BENCH_TOWERS (default 8),
   BENCH_SKIP_MULT=1 to skip the scheme-level phase,
-  BENCH_ITERS (default 10) outer timing reps,
-  BENCH_INNER (default 50) fori_loop trip count inside the jit.
+  BENCH_REPS (default 5) outer reps per trip count,
+  BENCH_K_SMALL/BENCH_K_BIG (default 10/60) fori_loop trip counts.
 """
 
 import json
@@ -46,16 +53,6 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def median_time(fn, reps):
-    """Median wall time of fn() over reps calls (fn must block)."""
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        fn()
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
-
-
 def main():
     import jax
 
@@ -65,13 +62,34 @@ def main():
 
     ring_log = int(os.environ.get("BENCH_RING_LOG", "16"))
     towers = int(os.environ.get("BENCH_TOWERS", "8"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
-    inner = int(os.environ.get("BENCH_INNER", "50"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+    k_small = int(os.environ.get("BENCH_K_SMALL", "10"))
+    k_big = int(os.environ.get("BENCH_K_BIG", "60"))
     n = 1 << ring_log
 
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind}, n=2^{ring_log}, towers={towers}, "
-        f"inner={inner}")
+        f"k={k_small}/{k_big}")
+
+    def marginal_us(name, loop_fn, probe):
+        """loop_fn(k) -> jitted callable running k iterations; probe(out)
+        -> array element to force-read. Returns marginal us/iteration."""
+        totals = {}
+        for k in (k_small, k_big):
+            f = loop_fn(k)
+            t0 = time.time()
+            np.asarray(probe(f()))  # compile + first run + real readback
+            log(f"  {name} k={k} compile+first: {time.time()-t0:.1f}s")
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                np.asarray(probe(f()))
+                ts.append(time.perf_counter() - t0)
+            totals[k] = float(np.median(ts))
+        per = (totals[k_big] - totals[k_small]) / (k_big - k_small) * 1e6
+        log(f"  {name}: {per:.1f} us/op marginal "
+            f"(totals {totals[k_small]*1e3:.1f}/{totals[k_big]*1e3:.1f} ms)")
+        return per
 
     from openfhe_tpu.ops import limb, ntt
     from openfhe_tpu.utils import nbtheory
@@ -86,42 +104,28 @@ def main():
     hi = rng.integers(0, 1 << 27, size=(towers, n), dtype=np.uint64).astype(np.uint32)
     a = limb.U64(jax.device_put(lo), jax.device_put(hi))
 
-    # --- in-graph timed loop: `inner` chained transforms in ONE jit ---
-    @jax.jit
-    def ntt_loop(x):
-        return jax.lax.fori_loop(
-            0, inner, lambda i, v: ntt.forward(plan, v), x)
+    def ntt_loop(k):
+        f = jax.jit(lambda x: jax.lax.fori_loop(
+            0, k, lambda i, v: ntt.forward(plan, v), x))
+        return lambda: f(a)
 
-    t0 = time.time()
-    jax.block_until_ready(ntt_loop(a).lo)
-    log(f"ntt loop compile+first run: {time.time()-t0:.1f}s")
+    def intt_loop(k):
+        f = jax.jit(lambda x: jax.lax.fori_loop(
+            0, k, lambda i, v: ntt.inverse(plan, v), x))
+        return lambda: f(a)
 
-    dt = median_time(lambda: jax.block_until_ready(ntt_loop(a).lo), iters)
-    graph_call_us = dt / inner * 1e6
-    per_tower_us = graph_call_us / towers
+    ntt_us = marginal_us("ntt", ntt_loop, lambda o: o.lo[0, 0])
+    intt_us = marginal_us("intt", intt_loop, lambda o: o.lo[0, 0])
+
+    per_tower_us = ntt_us / towers
     ntt_ops_per_s = 1e6 / per_tower_us
-
-    # minimal-traffic roofline: log2(n) stages x (8 B read + 8 B write)/elem
-    stages = ring_log
-    min_bytes = stages * 16.0 * towers * n
-    hbm_gbps = min_bytes / (graph_call_us * 1e-6) / 1e9
-
-    # --- dispatch-chain number (the old methodology, for comparison) ---
-    fwd = jax.jit(lambda x: ntt.forward(plan, x))
-    jax.block_until_ready(fwd(a).lo)
-
-    def chain():
-        x = a
-        for _ in range(inner):
-            x = fwd(x)
-        jax.block_until_ready(x.lo)
-
-    dispatch_call_us = median_time(chain, max(3, iters // 3)) / inner * 1e6
-
-    log(f"NTT batch [{towers},{n}]: in-graph {graph_call_us:.0f} us/call "
-        f"({per_tower_us:.1f} us/tower-NTT, {ntt_ops_per_s:.0f} tower-NTT/s, "
-        f"~{hbm_gbps:.0f} GB/s min-traffic), dispatch-chain "
-        f"{dispatch_call_us:.0f} us/call")
+    # minimal-traffic roofline for the four-step schedule: ~4 HBM passes
+    # (read+write around each of the two local-NTT phases) x 8 B/elem
+    min_bytes = 4 * 8.0 * towers * n
+    hbm_gbps = min_bytes / (ntt_us * 1e-6) / 1e9
+    log(f"NTT [{towers},{n}]: {ntt_us:.0f} us fwd / {intt_us:.0f} us inv, "
+        f"{per_tower_us:.1f} us/tower-NTT, {ntt_ops_per_s:.0f} tower-NTT/s, "
+        f"~{hbm_gbps:.0f} GB/s min-traffic")
 
     extra = {}
     if os.environ.get("BENCH_SKIP_MULT") != "1":
@@ -132,11 +136,9 @@ def main():
                                  scaling_mod_size=59, first_mod_size=60,
                                  dnum=3)
         ctx = ckks.gen_context(params)
-        log(f"ckks context: {time.time()-t0:.1f}s")
-        t0 = time.time()
         pk, sk = ckks.keygen(ctx, rng)
         evk = ckks.relin_keygen(ctx, sk, rng)
-        log(f"ckks keygen+relin key: {time.time()-t0:.1f}s")
+        log(f"ckks context+keygen+relin key: {time.time()-t0:.1f}s")
         t0 = time.time()
         rot_key = ckks.rot_keygen(ctx, sk, [1], rng)[1]
         log(f"ckks rot key: {time.time()-t0:.1f}s")
@@ -146,65 +148,35 @@ def main():
         ct2 = ckks.encrypt(ctx, pk, v, rng)
         log(f"ckks encrypt x2: {time.time()-t0:.1f}s")
 
-        # dispatch-level p50 (the number comparable to BENCH_r01/r02)
-        step = jax.jit(lambda x, y, k: ckks.eval_mult_relin(x, y, k))
-        t0 = time.time()
-        jax.block_until_ready(step(ct1, ct2, evk))
-        log(f"multrelin compile+first: {time.time()-t0:.1f}s")
-        times = []
-        for _ in range(max(7, iters)):
-            t0 = time.perf_counter()
-            jax.block_until_ready(step(ct1, ct2, evk))
-            times.append(time.perf_counter() - t0)
-        mult_p50_us = float(np.median(times) * 1e6)
-
-        # in-graph: fori_loop over mult+relin (fresh Ciphertext per iter so
-        # the static scale metadata stays constant across the carry)
-        mr_inner = max(4, inner // 8)
-
-        @jax.jit
-        def mult_loop(polys, other, key):
-            def body(i, cv):
-                ct = ckks.Ciphertext(cv, 1.0)
-                return ckks.eval_mult_relin(ct, other, key).polys
-            return jax.lax.fori_loop(0, mr_inner, body, polys)
-
         ct1_flat = ckks.Ciphertext(ct1.polys, 1.0)
         ct2_flat = ckks.Ciphertext(ct2.polys, 1.0)
-        t0 = time.time()
-        jax.block_until_ready(mult_loop(ct1_flat.polys, ct2_flat, evk)[0].lo)
-        log(f"multrelin loop compile: {time.time()-t0:.1f}s")
-        dt = median_time(
-            lambda: jax.block_until_ready(
-                mult_loop(ct1_flat.polys, ct2_flat, evk)[0].lo),
-            max(3, iters // 2))
-        mult_graph_us = dt / mr_inner * 1e6
 
-        # in-graph rotation
-        @jax.jit
-        def rot_loop(polys, key):
-            def body(i, cv):
-                ct = ckks.Ciphertext(cv, 1.0)
-                return ckks.eval_rotate(ct, 1, key).polys
-            return jax.lax.fori_loop(0, mr_inner, body, polys)
+        def mult_loop(k):
+            @jax.jit
+            def f(polys, other, key):
+                def body(i, cv):
+                    ct = ckks.Ciphertext(cv, 1.0)
+                    return ckks.eval_mult_relin(ct, other, key).polys
+                return jax.lax.fori_loop(0, k, body, polys)
+            return lambda: f(ct1_flat.polys, ct2_flat, evk)
 
-        t0 = time.time()
-        jax.block_until_ready(rot_loop(ct1_flat.polys, rot_key)[0].lo)
-        log(f"rotate loop compile: {time.time()-t0:.1f}s")
-        dt = median_time(
-            lambda: jax.block_until_ready(
-                rot_loop(ct1_flat.polys, rot_key)[0].lo),
-            max(3, iters // 2))
-        rot_graph_us = dt / mr_inner * 1e6
+        def rot_loop(k):
+            @jax.jit
+            def f(polys, key):
+                def body(i, cv):
+                    ct = ckks.Ciphertext(cv, 1.0)
+                    return ckks.eval_rotate(ct, 1, key).polys
+                return jax.lax.fori_loop(0, k, body, polys)
+            return lambda: f(ct1_flat.polys, rot_key)
 
-        log(f"CKKS EvalMult+Relin: p50 dispatch {mult_p50_us:.0f} us, "
-            f"in-graph {mult_graph_us:.0f} us; EvalRotate in-graph "
-            f"{rot_graph_us:.0f} us "
-            f"(reference CPU @4k/2towers: {BASELINE_CKKS_MULTRELIN_US} us)")
+        mult_us = marginal_us("multrelin", mult_loop, lambda o: o[0].lo[0, 0])
+        rot_us = marginal_us("rotate", rot_loop, lambda o: o[0].lo[0, 0])
+
+        log(f"CKKS EvalMult+Relin {mult_us:.0f} us, EvalRotate {rot_us:.0f} "
+            f"us (reference CPU @4k/2towers: {BASELINE_CKKS_MULTRELIN_US})")
         extra = {
-            "ckks_multrelin_p50_us": round(mult_p50_us, 1),
-            "ckks_multrelin_graph_us": round(mult_graph_us, 1),
-            "ckks_rotate_graph_us": round(rot_graph_us, 1),
+            "ckks_multrelin_us": round(mult_us, 1),
+            "ckks_rotate_us": round(rot_us, 1),
         }
 
     result = {
@@ -212,7 +184,7 @@ def main():
         "value": round(ntt_ops_per_s, 1),
         "unit": "tower-NTT/s",
         "vs_baseline": round(ntt_ops_per_s / (1e6 / BASELINE_NTT_65536_US), 2),
-        "ntt_dispatch_us": round(dispatch_call_us, 1),
+        "intt_us": round(intt_us, 1),
         "hbm_gbps": round(hbm_gbps, 1),
         **extra,
     }

@@ -127,10 +127,24 @@ def _slice_tw(table: U64, lo_idx: int, hi_idx: int) -> U64:
     return U64(table.lo[:, lo_idx:hi_idx, None], table.hi[:, lo_idx:hi_idx, None])
 
 
+# Above this ring dimension the single-chip transform runs as a four-step
+# (n1 x n2 blocked) NTT: every stage keeps the lane (minor) dimension at
+# n2 >= 128, avoiding the tail stages of the flat pipeline whose lane dim
+# shrinks to 1 and forces pathological relayouts. Measured on TPU v5e at
+# [8, 2^16]: 166 us vs 1090 us per call (6.6x). Both paths are bit-exact
+# and share the same slot-order contract (parallel/dntt.py docstring).
+FOUR_STEP_MIN_N = 8192
+
+
 def forward(plan: NTTPlan, a: U64) -> U64:
     """Batched forward negacyclic NTT: a is U64 with arrays [..., L, n] in
     natural coefficient order; output in bit-reversed evaluation order.
     """
+    if plan.n >= FOUR_STEP_MIN_N and a.lo.ndim >= 2:
+        from ..parallel import dntt
+
+        n1, n2 = dntt.split_factors(plan.n)
+        return dntt.four_step_forward(a, n1, n2, plan.moduli)
     n = plan.n
     q = plan.mod.q
     lo, hi = a.lo, a.hi
@@ -157,6 +171,11 @@ def inverse(plan: NTTPlan, a: U64) -> U64:
     """Batched inverse: bit-reversed evaluation order -> natural coefficients,
     including the 1/n scaling (folded in as a final Shoup multiply).
     """
+    if plan.n >= FOUR_STEP_MIN_N and a.lo.ndim >= 2:
+        from ..parallel import dntt
+
+        n1, n2 = dntt.split_factors(plan.n)
+        return dntt.four_step_inverse(a, n1, n2, plan.moduli)
     n = plan.n
     q = plan.mod.q
     lo, hi = a.lo, a.hi
