@@ -1,7 +1,11 @@
-"""Shared setup for the example programs: force local CPU execution when no
-TPU is wanted, enable the persistent compile cache."""
+"""Shared setup for the example programs: put the repo root on sys.path,
+force local CPU execution when no TPU is wanted, enable the persistent
+compile cache."""
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 if os.environ.get("EXAMPLES_ON_TPU") != "1":
     os.environ["JAX_PLATFORMS"] = "cpu"

@@ -395,6 +395,8 @@ def rescale(ct: Ciphertext) -> Ciphertext:
 
 def level_reduce(ct: Ciphertext, levels: int = 1) -> Ciphertext:
     """Drop towers without scaling (reference: LevelReduce)."""
+    if levels == 0:
+        return ct
     new_basis = ct.basis.drop_last(levels)
     L = new_basis.L
     polys = [dcrt.make_poly(new_basis, U64(p.lo[:L], p.hi[:L]), Format.EVAL)

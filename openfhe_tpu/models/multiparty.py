@@ -181,3 +181,139 @@ def rot_keygen_finalize(shares: Sequence[keyswitch.KSKey]
     for k in shares[1:]:
         acc = keyswitch.add_keys_b(acc, k)
     return acc
+
+
+# ---------------------------------------------------------------------------
+# Interactive multiparty bootstrapping (threshold CKKS).
+# Reference: MultipartyCKKSRNS::IntMPBootAdjustScale / RandomElementGen /
+# Decrypt / Add / Encrypt (ckksrns-multiparty.cpp:118-460; facade
+# cryptocontext.h:3111-3157; examples tckks-interactive-mp-bootstrapping*).
+#
+# One round: every party masks its partial decryption of the compressed
+# ciphertext with a fresh flood mask M_i (uniform over the first
+# `mask_towers` moduli) and simultaneously re-encrypts +M_i at FULL level
+# under common randomness a:
+#     h0_i = s_i * c1          - M_i   (mod q', no noise)
+#     h1_i = -s_i * a + e_i    + M_i   (mod Q)
+# Aggregation + the lead's final step rebuild (c0 + h0 lifted to Q) + h1,
+# giving a fresh full-level encryption of the same message: the masks
+# cancel exactly because both shares expand the SAME integer mask value,
+# and the lift of c0 + h0 = m~ - M is CENTERED (|m~ - M| << q'/2), unlike
+# the reference's positive lift + implementation-defined wraparound.
+# ---------------------------------------------------------------------------
+
+
+from functools import lru_cache  # noqa: E402
+
+from ..ops import rns  # noqa: E402
+from ..ops.limb import U64, from_int_array  # noqa: E402
+from ..ops.modular import add_mod, sub_mod, shoup_precon_int  # noqa: E402
+
+
+def int_mp_boot_adjust_scale(ctx: CKKSContext, ct: Ciphertext,
+                             mask_towers: int = 1) -> Ciphertext:
+    """Compress the ciphertext to (message towers) + mask_towers before the
+    interactive bootstrap (reference: IntMPBootAdjustScale,
+    ckksrns-multiparty.cpp:118-161; FIXEDMANUAL branch = Compress)."""
+    msg_towers = (ctx.params.scaling_mod_size //
+                  ctx.params.first_mod_size + 1)
+    keep = msg_towers + mask_towers
+    assert ct.towers >= keep, "not enough towers left to bootstrap"
+    return ckks.level_reduce(ct, ct.towers - keep)
+
+
+def int_mp_boot_random_element_gen(ctx: CKKSContext,
+                                   rng: np.random.Generator) -> RnsPoly:
+    """Common random polynomial over the FULL chain (EVAL) — the shared
+    `a` component of the output ciphertext (reference:
+    IntMPBootRandomElementGen)."""
+    basis = ctx.basis()
+    return dcrt.from_int_rows(
+        basis, sampling.uniform_rns_rows(ctx.n, basis.moduli, rng),
+        Format.EVAL)
+
+
+@lru_cache(maxsize=None)
+def _half_consts(moduli: tuple, half: int):
+    """[L, 1] residues of `half` for centered-lift shifting."""
+    rows = [[half % q] for q in moduli]
+    return from_int_array(np.asarray(rows, dtype=object))
+
+
+def _expand_rows(x: U64, from_moduli: tuple, to_moduli: tuple) -> U64:
+    """Exact positive lift of coefficient rows over `from_moduli` to the
+    superset basis `to_moduli` (which has from_moduli as a prefix)."""
+    k = len(from_moduli)
+    assert tuple(to_moduli[:k]) == tuple(from_moduli)
+    if k == len(to_moduli):
+        return x
+    import jax.numpy as jnp
+    conv = rns.exact_switch_basis(x, from_moduli, tuple(to_moduli[k:]))
+    return U64(jnp.concatenate([x.lo, conv.lo], axis=0),
+               jnp.concatenate([x.hi, conv.hi], axis=0))
+
+
+def int_mp_boot_decrypt(ctx: CKKSContext, sk_i: SecretKey, ct: Ciphertext,
+                        a: RnsPoly, rng: np.random.Generator,
+                        mask_towers: int = 1):
+    """Party i's masked decryption + re-encryption share pair
+    (reference: IntMPBootDecrypt -> GenerateMaskedDecryptionShare /
+    GenerateReEncryptionShare, ckksrns-multiparty.cpp:305-390)."""
+    small = ct.basis
+    full = ctx.basis()
+    t_moduli = small.moduli[:mask_towers]
+
+    # fresh flood mask, uniform over R_t (coefficient values in [0, t))
+    m_rows = sampling.uniform_rns_rows(ctx.n, t_moduli, rng)
+    m = from_int_array(m_rows)
+    m_small = dcrt.to_eval(dcrt.make_poly(
+        small, _expand_rows(m, t_moduli, small.moduli), Format.COEFF))
+    m_full = dcrt.to_eval(dcrt.make_poly(
+        full, _expand_rows(m, t_moduli, full.moduli), Format.COEFF))
+
+    # h0_i = s_i c1 - M_i over q' (no noise: reference IsZeroNoise=true)
+    s_small = sk_i.poly(small)
+    h0 = dcrt.sub(dcrt.mul(ct.polys[1], s_small), m_small)
+
+    # h1_i = -s_i a + e_i + M_i over Q
+    s_full = sk_i.poly(full)
+    e_rows = sampling.signed_to_rns_rows(
+        sampling.gaussian_coeffs(ctx.n, rng, ctx.params.sigma), full.moduli)
+    e = dcrt.to_eval(dcrt.from_int_rows(full, e_rows, Format.COEFF))
+    h1 = dcrt.add(dcrt.sub(e, dcrt.mul(a, s_full)), m_full)
+    return h0, h1
+
+
+def int_mp_boot_add(share_pairs):
+    """Aggregate the parties' (h0_i, h1_i) pairs
+    (reference: IntMPBootAdd)."""
+    h0, h1 = share_pairs[0]
+    for h0_i, h1_i in share_pairs[1:]:
+        h0 = dcrt.add(h0, h0_i)
+        h1 = dcrt.add(h1, h1_i)
+    return h0, h1
+
+
+def int_mp_boot_encrypt(ctx: CKKSContext, shares, a: RnsPoly,
+                        ct: Ciphertext) -> Ciphertext:
+    """Lead party's final step: lift c0 + h0 to the full chain (CENTERED
+    exact CRT expansion) and add the aggregated re-encryption share
+    (reference: IntMPBootEncrypt, ckksrns-multiparty.cpp:410-460).
+    Output: fresh full-level (c0'', a) with the same message and scale."""
+    h0, h1 = shares
+    small = ct.basis
+    full = ctx.basis()
+    c0p = dcrt.add(ct.polys[0], h0)
+
+    # centered exact lift q' -> Q: shift by q'/2, positive lift, unshift
+    half = small.big_modulus // 2
+    x = dcrt.to_coeff(c0p)
+    shifted = add_mod(x.data, _half_consts(small.moduli, half),
+                      small.mod.q)
+    lifted = _expand_rows(shifted, small.moduli, full.moduli)
+    unshifted = sub_mod(lifted, _half_consts(full.moduli, half),
+                        full.mod.q)
+    c0_full = dcrt.to_eval(dcrt.make_poly(full, unshifted, Format.COEFF))
+
+    c0pp = dcrt.add(c0_full, h1)
+    return Ciphertext((c0pp, a), ct.scale)
