@@ -143,6 +143,9 @@ def rot_keygen(ctx: BFVContext, sk: SecretKey, galois_elts: Sequence[int],
 @dataclasses.dataclass(frozen=True)
 class Ciphertext:
     polys: Tuple[RnsPoly, ...]
+    # reference: CiphertextImpl::GetNoiseScaleDeg — drives the level-drop
+    # decision of the HPSPOVERQLEVELED multiplication variant.
+    noise_deg: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     @property
     def basis(self) -> RnsBasis:
@@ -265,13 +268,15 @@ def _decrypt_scale(ctx: BFVContext):
 def eval_add(ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
     assert ct1.basis == ct2.basis
     return Ciphertext(tuple(dcrt.add(a, b)
-                            for a, b in zip(ct1.polys, ct2.polys)))
+                            for a, b in zip(ct1.polys, ct2.polys)),
+                      noise_deg=max(ct1.noise_deg, ct2.noise_deg))
 
 
 def eval_sub(ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
     assert ct1.basis == ct2.basis
     return Ciphertext(tuple(dcrt.sub(a, b)
-                            for a, b in zip(ct1.polys, ct2.polys)))
+                            for a, b in zip(ct1.polys, ct2.polys)),
+                      noise_deg=max(ct1.noise_deg, ct2.noise_deg))
 
 
 @lru_cache(maxsize=None)
@@ -320,7 +325,159 @@ def eval_mult(ctx: BFVContext, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
                     ct2.polys[0].data, ct2.polys[1].data)
     basis = ctx.basis()
     return Ciphertext(tuple(dcrt.make_poly(basis, d, Format.EVAL)
-                            for d in (d0, d1, d2)))
+                            for d in (d0, d1, d2)),
+                      noise_deg=max(ct1.noise_deg, ct2.noise_deg) + 1)
+
+
+# ---------------------------------------------------------------------------
+# HPSPOVERQ / HPSPOVERQLEVELED multiplication variants (reference:
+# MultiplicationTechnique, ``constants.h:127-128``; EvalMult dispatch
+# ``bfvrns-leveledshe.cpp:193-306,357-383``; Kim-Polyakov-Zucca
+# eprint 2021/204). ct2 is switched Q_l -> R_l with the R/Q scaling folded
+# in (FastExpandCRTBasisPloverQ, ``dcrtpoly-impl.h:1413``), so the
+# post-tensor scale-down divides by R_l instead of Q — cheaper and with a
+# smaller rounding error. The LEVELED variant first drops towers the noise
+# no longer needs (FindLevelsToDrop, ``bfvrns-leveledshe.cpp:77-166``) and
+# expands back by multiplying with Q/Q_l (ExpandCRTBasisQlHat,
+# ``dcrtpoly-impl.h:1514``).
+# ---------------------------------------------------------------------------
+
+
+def find_levels_to_drop(ctx: BFVContext, mult_depth: int,
+                        key_switch: bool = False) -> int:
+    """Noise-estimate of how many towers EvalMult can drop at this depth
+    (port of FindLevelsToDrop, ``bfvrns-leveledshe.cpp:77-166``, HYBRID
+    keyswitch branch)."""
+    import math
+    sigma = ctx.params.sigma
+    alpha = 36.0
+    p = float(ctx.t)
+    n = ctx.n
+    dcrt_bits = ctx.params.mod_size
+    num_part_q = ctx.params.dnum
+    k = -(-len(ctx.q_moduli) // num_part_q)   # towers per digit
+    b_key = 1.0                                # ternary secrets
+    b_err = sigma * math.sqrt(alpha)
+    delta = 2.0 * math.sqrt(n)
+    v_norm = b_err * (1.0 + 2.0 * delta * b_key)
+
+    def noise_ks():
+        return k * (num_part_q * delta * b_err + delta * b_key + 1.0) / 2
+
+    c1 = delta * delta * p * b_key
+    c2 = delta * delta * b_key * b_key / 2.0 + noise_ks()
+
+    def logq_bfv():
+        if mult_depth > 0:
+            return (math.log(4 * p) + (mult_depth - 1) * math.log(c1)
+                    + math.log(c1 * v_norm + mult_depth * c2))
+        return math.log(p * 4 * v_norm)
+
+    logq = logq_bfv()   # c2 is depth-independent under HYBRID: no iteration
+    loge = logq / math.log(2) - 2 - math.log2(p)
+    log_extra = math.log2(noise_ks()) if key_switch else math.log2(delta)
+    levels = math.floor((loge - 2 * mult_depth - 16 - log_extra) / dcrt_bits)
+    return max(0, min(levels, len(ctx.q_moduli) - 1))
+
+
+@lru_cache(maxsize=None)
+def _mult_pipeline_povq(ctx: BFVContext, drop: int):
+    """Jitted HPSPOVERQ EvalMult core at Q_l = q_0..q_{L-1-drop}."""
+    L = len(ctx.q_moduli)
+    ql = ctx.q_moduli[:L - drop]
+    rl = ctx.r_moduli[:len(ql) + 1]
+    sl = ql + rl
+    t, n = ctx.t, ctx.n
+    Ql = 1
+    for q in ql:
+        Ql *= q
+    Rl = 1
+    for r in rl:
+        Rl *= r
+    QlHat_rows = tuple((_prod(ctx.q_moduli) // Ql) % q for q in ql)
+    q_basis = ctx.basis()
+    ql_basis = RnsBasis(n, ql)
+    rl_basis = RnsBasis(n, rl)
+    sl_basis = RnsBasis(n, sl)
+
+    from ..ops.modular import add_mod, mul_mod, mul_mod_shoup
+
+    def to_ql_coeff(x_eval: U64) -> U64:
+        """EVAL over Q -> COEFF over Q_l: round(Q_l/Q * x) when dropping
+        (the leveled ScaleAndRound drop, bfvrns-leveledshe.cpp:249-254)."""
+        x_coeff = ntt_ops.inverse(q_basis.plan, x_eval)
+        if drop == 0:
+            return x_coeff
+        return rns.scale_and_round(x_coeff, ctx.q_moduli, ql, Ql,
+                                   ctx.q_moduli)
+
+    def lift1(x_eval: U64) -> U64:
+        """ct1 path: EVAL over Q -> EVAL over S_l (approx mod-up)."""
+        x_coeff = to_ql_coeff(x_eval)
+        conv = rns.approx_switch_basis(x_coeff, ql, rl)
+        lo = jax.numpy.concatenate([x_coeff.lo, conv.lo], axis=0)
+        hi = jax.numpy.concatenate([x_coeff.hi, conv.hi], axis=0)
+        return ntt_ops.forward(sl_basis.plan, U64(lo, hi))
+
+    def lift2(x_eval: U64) -> U64:
+        """ct2 path: EVAL over Q -> EVAL over S_l carrying round(R_l/Q_l*x)
+        (FastExpandCRTBasisPloverQ, dcrtpoly-impl.h:1413)."""
+        x_coeff = to_ql_coeff(x_eval)
+        y_r = rns.scale_and_round(x_coeff, ql, rl, Rl, ql)
+        y_q = rns.exact_switch_basis(y_r, rl, ql)
+        lo = jax.numpy.concatenate([y_q.lo, y_r.lo], axis=0)
+        hi = jax.numpy.concatenate([y_q.hi, y_r.hi], axis=0)
+        return ntt_ops.forward(sl_basis.plan, U64(lo, hi))
+
+    def scale_back(y_eval: U64) -> U64:
+        """EVAL over S_l -> EVAL over Q: round(t*Y/R_l) lands in Q_l; then
+        multiply by Q/Q_l and zero-fill the dropped towers
+        (ExpandCRTBasisQlHat: x*(Q/Q_l) == 0 mod the dropped primes)."""
+        y_coeff = ntt_ops.inverse(sl_basis.plan, y_eval)
+        y_ql = rns.scale_and_round(y_coeff, sl, ql, t, rl)
+        if drop == 0:
+            return ntt_ops.forward(q_basis.plan, y_ql)
+        y_ql = dcrt.ntt_forward_data(ql_basis, y_ql)
+        cc, pre = dcrt.tower_const(ql_basis, QlHat_rows)
+        y_ql = mul_mod_shoup(y_ql, cc, pre, ql_basis.mod.q)
+        zeros = jax.numpy.zeros((drop, n), dtype=y_ql.lo.dtype)
+        return U64(jax.numpy.concatenate([y_ql.lo, zeros], axis=0),
+                   jax.numpy.concatenate([y_ql.hi, zeros], axis=0))
+
+    @jax.jit
+    def fn(c10, c11, c20, c21):
+        l10, l11 = lift1(c10), lift1(c11)
+        l20, l21 = lift2(c20), lift2(c21)
+        smod = sl_basis.mod
+        d0 = mul_mod(l10, l20, smod)
+        d1 = add_mod(mul_mod(l10, l21, smod), mul_mod(l11, l20, smod),
+                     smod.q)
+        d2 = mul_mod(l11, l21, smod)
+        return scale_back(d0), scale_back(d1), scale_back(d2)
+
+    return fn
+
+
+def _prod(vals):
+    out = 1
+    for v in vals:
+        out *= v
+    return out
+
+
+def eval_mult_povq(ctx: BFVContext, ct1: Ciphertext, ct2: Ciphertext,
+                   leveled: bool = False) -> Ciphertext:
+    """HPSPOVERQ (leveled=False) / HPSPOVERQLEVELED (leveled=True)
+    multiplication (reference: bfvrns-leveledshe.cpp:208-306)."""
+    assert len(ct1.polys) == 2 and len(ct2.polys) == 2
+    deg = max(ct1.noise_deg, ct2.noise_deg)
+    drop = find_levels_to_drop(ctx, deg - 1) if leveled else 0
+    fn = _mult_pipeline_povq(ctx, drop)
+    d0, d1, d2 = fn(ct1.polys[0].data, ct1.polys[1].data,
+                    ct2.polys[0].data, ct2.polys[1].data)
+    basis = ctx.basis()
+    return Ciphertext(tuple(dcrt.make_poly(basis, d, Format.EVAL)
+                            for d in (d0, d1, d2)), noise_deg=deg + 1)
 
 
 # ---------------------------------------------------------------------------
@@ -409,14 +566,16 @@ def eval_mult_behz(ctx: BFVContext, ct1: Ciphertext, ct2: Ciphertext
                     ct2.polys[0].data, ct2.polys[1].data)
     basis = ctx.basis()
     return Ciphertext(tuple(dcrt.make_poly(basis, d, Format.EVAL)
-                            for d in (d0, d1, d2)))
+                            for d in (d0, d1, d2)),
+                      noise_deg=max(ct1.noise_deg, ct2.noise_deg) + 1)
 
 
 def relinearize(ct: Ciphertext, evk: keyswitch.KSKey) -> Ciphertext:
     assert len(ct.polys) == 3
     d0, d1 = keyswitch.apply(evk, ct.polys[2])
     return Ciphertext((dcrt.add(ct.polys[0], d0),
-                       dcrt.add(ct.polys[1], d1)))
+                       dcrt.add(ct.polys[1], d1)),
+                      noise_deg=ct.noise_deg)
 
 
 def eval_mult_relin(ctx: BFVContext, ct1: Ciphertext, ct2: Ciphertext,

@@ -35,38 +35,63 @@ from ..utils import nbtheory, sampling
 @dataclasses.dataclass(frozen=True)
 class BinFHEParams:
     """Named parameter set (role of the reference's BINFHE_PARAMSET
-    TOY..STD128, ``binfhe-constants-impl.cpp``)."""
+    TOY..STD256Q_4, ``binfhe-constants-impl.cpp`` /
+    ``binfhecontext.cpp:118-146``)."""
 
-    n_lwe: int          # LWE dimension
-    N: int              # ring dimension of the accumulator
-    Q: int              # accumulator modulus (NTT prime, < 2^31)
-    q_ks: int           # LWE key-switch modulus (power of two)
-    log_bg: int         # gadget base log (accumulator decomposition)
-    log_bks: int        # key-switch base log
+    n_lwe: int          # LWE dimension (reference: latticeParam)
+    N: int              # ring dimension of the accumulator (cyclOrder / 2)
+    Q: int              # accumulator modulus (NTT prime)
+    q_ks: int           # LWE key-switch modulus (reference: modKS)
+    log_bg: int         # gadget base log (reference gadgetBase, power of 2)
+    log_bks: int = 0    # power-of-two key-switch base log (use base_ks else)
     sigma: float = 3.19
-    method: str = "GINX"   # blind-rotation strategy: GINX (CGGI) or AP (DM)
-    log_br: int = 3        # AP refresh base log (reference: baseR)
+    method: str = "GINX"   # blind-rotation strategy: GINX (CGGI), AP (DM),
+    #                        or LMKCDEY
+    log_br: int = 3        # AP refresh base log (use base_r for non-pow2)
+    q_gate: int = 0        # gate/LWE modulus (reference: mod); 0 -> 2N
+    base_ks: int = 0       # arbitrary key-switch base (reference baseKS can
+    #                        be 25...); 0 -> 1 << log_bks
+    base_r: int = 0        # arbitrary AP refresh base (reference baseRK can
+    #                        be 23, 32, 46); 0 -> 1 << log_br
+    key_dist: str = "TERNARY"  # secret distribution: TERNARY or GAUSSIAN
+    num_auto_keys: int = 1     # reference numAutoKeys (this LMKCDEY design
+    #                            uses a fixed window of 1; kept for parity)
 
     @property
     def q(self) -> int:
-        return 2 * self.N  # blind-rotation exponent modulus
+        """Gate/LWE ciphertext modulus. Must divide 2N (the blind-rotation
+        exponent modulus); the reference's sets use q = N or q = 2N."""
+        return self.q_gate if self.q_gate else 2 * self.N
 
     @property
     def dg(self) -> int:
         return -(-self.Q.bit_length() // self.log_bg)
 
     @property
+    def B_ks(self) -> int:
+        return self.base_ks if self.base_ks else 1 << self.log_bks
+
+    @property
     def d_ks(self) -> int:
-        return -(-self.q_ks.bit_length() // self.log_bks)
+        """Digits to cover q_ks - 1 in base B_ks (any base, any modulus)."""
+        d, x = 0, self.q_ks - 1
+        while x:
+            d += 1
+            x //= self.B_ks
+        return d
 
     @property
     def B_r(self) -> int:
-        return 1 << self.log_br
+        return self.base_r if self.base_r else 1 << self.log_br
 
     @property
     def d_r(self) -> int:
         """AP digit count: B_r^d_r >= 2N (exponent modulus)."""
-        return -(-(2 * self.N - 1).bit_length() // self.log_br)
+        d, x = 0, 2 * self.N - 1
+        while x:
+            d += 1
+            x //= self.B_r
+        return d
 
 
 def toy_params() -> BinFHEParams:
@@ -75,10 +100,82 @@ def toy_params() -> BinFHEParams:
                         log_bg=10, log_bks=5, sigma=3.19)
 
 
+# Reference named parameter sets, constants verbatim from
+# ``binfhecontext.cpp:118-146`` (GenerateBinFHEContext's paramsMap):
+# (numberBits, cyclOrder, latticeParam n, mod q, modKS (0 = the NTT prime Q),
+#  baseKS, gadgetBase, baseRK, numAutoKeys, keyDist, default method).
+# These are published standard constants the framework must match exactly.
+_REF_TABLE = {
+    "TOY_REF":           (27, 1024, 64, 512, 0, 25, 1 << 9, 23, 9,
+                          "TERNARY", "GINX"),
+    "MEDIUM":            (28, 2048, 422, 1024, 1 << 14, 1 << 7, 1 << 10, 32,
+                          10, "TERNARY", "GINX"),
+    "STD128_LMKCDEY":    (28, 2048, 446, 1024, 1 << 13, 1 << 5, 1 << 10, 32,
+                          10, "GAUSSIAN", "LMKCDEY"),
+    "STD128_AP":         (27, 2048, 503, 1024, 1 << 14, 1 << 5, 1 << 9, 32,
+                          10, "TERNARY", "AP"),
+    "STD128":            (27, 2048, 503, 1024, 1 << 14, 1 << 5, 1 << 9, 32,
+                          10, "TERNARY", "GINX"),
+    "STD192":            (37, 4096, 805, 1024, 1 << 15, 32, 1 << 13, 32,
+                          10, "TERNARY", "GINX"),
+    "STD256":            (29, 4096, 990, 2048, 1 << 14, 1 << 7, 1 << 8, 46,
+                          10, "TERNARY", "GINX"),
+    "STD128Q":           (25, 2048, 534, 1024, 1 << 14, 32, 1 << 7, 32,
+                          10, "TERNARY", "GINX"),
+    "STD128Q_LMKCDEY":   (27, 2048, 448, 1024, 1 << 13, 32, 1 << 9, 32,
+                          10, "GAUSSIAN", "LMKCDEY"),
+    "STD192Q":           (35, 4096, 875, 1024, 1 << 15, 32, 1 << 12, 32,
+                          10, "TERNARY", "GINX"),
+    "STD256Q":           (27, 4096, 1225, 1024, 1 << 16, 16, 1 << 7, 32,
+                          10, "TERNARY", "GINX"),
+    "STD128_3":          (27, 2048, 541, 1024, 1 << 15, 32, 1 << 7, 32,
+                          10, "TERNARY", "GINX"),
+    "STD128_3_LMKCDEY":  (28, 2048, 485, 1024, 1 << 15, 32, 1 << 10, 32,
+                          10, "GAUSSIAN", "LMKCDEY"),
+    "STD128Q_3":         (50, 4096, 575, 2048, 1 << 15, 32, 1 << 25, 32,
+                          10, "TERNARY", "GINX"),
+    "STD128Q_3_LMKCDEY": (27, 2048, 524, 1024, 1 << 15, 32, 1 << 9, 32,
+                          10, "GAUSSIAN", "LMKCDEY"),
+    "STD192Q_3":         (34, 4096, 922, 2048, 1 << 16, 16, 1 << 12, 32,
+                          10, "TERNARY", "GINX"),
+    "STD256Q_3":         (27, 4096, 1400, 4096, 1 << 16, 21, 1 << 6, 32,
+                          10, "TERNARY", "GINX"),
+    "STD128_4":          (27, 2048, 541, 2048, 1 << 15, 32, 1 << 7, 32,
+                          10, "TERNARY", "GINX"),
+    "STD128_4_LMKCDEY":  (28, 2048, 522, 2048, 1 << 15, 32, 1 << 10, 32,
+                          10, "GAUSSIAN", "LMKCDEY"),
+    "STD128Q_4":         (50, 4096, 647, 2048, 1 << 16, 16, 1 << 25, 32,
+                          10, "TERNARY", "GINX"),
+    "STD128Q_4_LMKCDEY": (27, 2048, 524, 2048, 1 << 15, 32, 1 << 7, 32,
+                          10, "GAUSSIAN", "LMKCDEY"),
+    "STD192Q_4":         (34, 4096, 980, 2048, 1 << 17, 16, 1 << 12, 32,
+                          10, "TERNARY", "GINX"),
+    "STD256Q_4":         (27, 4096, 1625, 4096, 1 << 21, 16, 1 << 6, 32,
+                          10, "TERNARY", "GINX"),
+    "SIGNED_MOD_TEST":   (28, 2048, 512, 1024, 0, 25, 1 << 7, 23,
+                          10, "TERNARY", "GINX"),
+}
+
+
+def reference_params(name: str, method: str | None = None) -> BinFHEParams:
+    """Build a named set with the reference's exact constants. The NTT
+    prime Q is derived as PreviousPrime(FirstPrime(bits, 2N), 2N), matching
+    ``binfhecontext.cpp:148-150``. ``method`` overrides the set's default
+    blind-rotation strategy (the reference passes it separately)."""
+    (bits, cyc, n, q, mod_ks, base_ks, base_g, base_r, n_auto, dist,
+     meth) = _REF_TABLE[name]
+    N = cyc // 2
+    Q = nbtheory.previous_prime(nbtheory.first_prime(bits, cyc), cyc)
+    if mod_ks == 0:      # reference PRIME sentinel: key-switch at Q itself
+        mod_ks = Q
+    return BinFHEParams(
+        n_lwe=n, N=N, Q=Q, q_ks=mod_ks, log_bg=base_g.bit_length() - 1,
+        sigma=3.19, method=method or meth, q_gate=q, base_ks=base_ks,
+        base_r=base_r, key_dist=dist, num_auto_keys=n_auto)
+
+
 def std128_params() -> BinFHEParams:
-    Q = nbtheory.first_prime(27, 2 * 1024)
-    return BinFHEParams(n_lwe=512, N=1024, Q=Q, q_ks=1 << 14,
-                        log_bg=7, log_bks=5, sigma=3.19)
+    return reference_params("STD128")
 
 
 def toy_lp_params() -> BinFHEParams:
@@ -98,13 +195,17 @@ def toy_lmk_params() -> BinFHEParams:
 
 
 def std128_ap_params() -> BinFHEParams:
-    return dataclasses.replace(std128_params(), method="AP", log_br=5)
+    return reference_params("STD128_AP")
 
 
+# TOY/TOY_* are this framework's fast test-tuned sets; every other name is
+# the reference's production table (constants exact, see _REF_TABLE).
 PARAM_SETS = {"TOY": toy_params, "STD128": std128_params,
               "TOY_LP": toy_lp_params,
               "TOY_AP": toy_ap_params, "STD128_AP": std128_ap_params,
               "TOY_LMKCDEY": toy_lmk_params}
+PARAM_SETS.update({name: (lambda n=name: reference_params(n))
+                   for name in _REF_TABLE if name not in PARAM_SETS})
 
 
 class LWECiphertext(NamedTuple):
@@ -148,11 +249,29 @@ class BinFHEContext:
 def gen_context(name_or_params="STD128") -> BinFHEContext:
     p = PARAM_SETS[name_or_params]() if isinstance(name_or_params, str) \
         else name_or_params
+    if p.Q.bit_length() > 30:
+        # The gadget decompose kernels center-lift residues in int32 lanes;
+        # Q >= 2^31 sets (STD192*, STD128Q_3/4) need a two-limb decompose
+        # that is not built yet.
+        raise ValueError(
+            f"accumulator modulus Q ({p.Q.bit_length()} bits) exceeds the "
+            "30-bit limit of the int32 gadget-decompose kernels")
+    if (2 * p.N) % p.q != 0:
+        raise ValueError("gate modulus q must divide 2N")
     return BinFHEContext(p)
 
 
 def keygen(ctx: BinFHEContext, rng: np.random.Generator) -> BinFHESecret:
+    """(role of BinFHEContext::KeyGen; GAUSSIAN keyDist mirrors
+    LWEEncryptionScheme::KeyGenGaussian, lwe-pke.cpp:53-57)."""
     p = ctx.params
+    if p.key_dist == "GAUSSIAN":
+        # CGGI's double-key construction encodes s_i in {-1,0,1} indicator
+        # bits; Gaussian secrets need the monomial-based methods.
+        assert p.method in ("LMKCDEY", "AP"), \
+            "GAUSSIAN secrets require the LMKCDEY or AP method"
+        return BinFHESecret(sampling.gaussian_coeffs(p.n_lwe, rng, p.sigma),
+                            sampling.gaussian_coeffs(p.N, rng, p.sigma))
     return BinFHESecret(sampling.ternary_coeffs(p.n_lwe, rng),
                         sampling.ternary_coeffs(p.N, rng))
 
@@ -173,6 +292,85 @@ def decrypt(ctx: BinFHEContext, sk: BinFHESecret,
     q = ct.modulus
     phase = (ct.b - int(ct.a @ sk.s_lwe)) % q
     return int(((4 * phase + q // 2) // q) % 4) & 1
+
+
+# ---------------------------------------------------------------------------
+# Public-key LWE (reference: LWEEncryptionScheme::KeyGenPair / PubKeyGen /
+# EncryptN, lwe-pke.cpp:59-111,153-194; surfaced as BinFHEContext::
+# KeyGenPair + Encrypt-with-public-key, binfhecontext.h:189)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class LWEPublicKey:
+    """(A, v = A z + e) over the accumulator modulus Q at ring dimension N;
+    z is the ring secret viewed as an LWE key (the reference's skN)."""
+    A: np.ndarray   # int64 [N, N] mod Q
+    v: np.ndarray   # int64 [N]
+
+
+def _matvec_mod(A: np.ndarray, x: np.ndarray, mod: int,
+                block: int = 128) -> np.ndarray:
+    """(A @ x) % mod with block-wise reduction so int64 never overflows
+    (|A_ij * x_j| < 2^55 for 50-bit mod and small x; 128 terms < 2^62)."""
+    acc = np.zeros(A.shape[0], dtype=np.int64)
+    for s in range(0, A.shape[1], block):
+        acc = (acc + (A[:, s:s + block] * x[s:s + block]).sum(axis=1)) % mod
+    return acc
+
+
+def pubkey_gen(ctx: BinFHEContext, sk: BinFHESecret,
+               rng: np.random.Generator) -> LWEPublicKey:
+    """(role of LWEEncryptionScheme::PubKeyGen, lwe-pke.cpp:81-111)."""
+    p = ctx.params
+    N, Q = p.N, p.Q
+    A = rng.integers(0, Q, size=(N, N), dtype=np.int64)
+    e = np.rint(rng.normal(0, p.sigma, size=N)).astype(np.int64)
+    v = (_matvec_mod(A, sk.z_ring, Q) + e) % Q
+    return LWEPublicKey(A, v)
+
+
+def keygen_pair(ctx: BinFHEContext, rng: np.random.Generator
+                ) -> Tuple[LWEPublicKey, BinFHESecret]:
+    """(role of BinFHEContext::KeyGenPair / LWE KeyGenPair,
+    lwe-pke.cpp:59-79): secret (s_lwe, z_ring) plus a public key bound to
+    the ring secret z_ring."""
+    sk = keygen(ctx, rng)
+    return pubkey_gen(ctx, sk, rng), sk
+
+
+def encrypt_pk(ctx: BinFHEContext, pk: LWEPublicKey, m: int,
+               rng: np.random.Generator, p_msg: int = 4) -> LWECiphertext:
+    """Public-key LWE encryption at dimension N, modulus Q (reference:
+    EncryptN, lwe-pke.cpp:153-194): a = A^T s' + e', b = <v, s'> + e'' +
+    m * Q/p. Use switch_ct_to_qn to get a gate-ready (q, n) ciphertext."""
+    p = ctx.params
+    N, Q = p.N, p.Q
+    sp = sampling.ternary_coeffs(N, rng)
+    ep = np.rint(rng.normal(0, p.sigma, size=N)).astype(np.int64)
+    a = (_matvec_mod(pk.A.T, sp, Q) + ep) % Q
+    e2 = int(np.rint(rng.normal(0, p.sigma)))
+    b = (int(_matvec_mod(pk.v[None, :], sp, Q)[0]) + e2
+         + (m % p_msg) * (Q // p_msg)) % Q
+    return LWECiphertext(a, b, Q)
+
+
+def switch_ct_to_qn(ctx: BinFHEContext, bk: BootstrapKey,
+                    ct: LWECiphertext) -> LWECiphertext:
+    """Convert a dimension-N, modulus-Q ciphertext (public-key encryption)
+    to the gate format: dimension n_lwe, modulus q (reference:
+    LWEEncryptionScheme::SwitchCTtoqn, lwe-pke.cpp:196-205)."""
+    p = ctx.params
+    assert len(ct.a) == p.N, "input must be at ring dimension N"
+    ct1 = _mod_switch_lwe(ct, p.q_ks)
+    # _lwe_keyswitch_batch consumes the extract-path convention
+    # phase = b + <a, z>; this ciphertext is phase = b - <a, z>.
+    a_neg = (-np.asarray(ct1.a, np.int64)) % p.q_ks
+    a_out, b_out = _lwe_keyswitch_batch(
+        ctx, bk.ks_a, bk.ks_b, a_neg[None, :],
+        np.asarray([ct1.b], np.int64))
+    ct2 = LWECiphertext(a_out[0], int(b_out[0]), p.q_ks)
+    return _mod_switch_lwe(ct2, p.q)
 
 
 # ---------------------------------------------------------------------------
@@ -238,11 +436,12 @@ def _keyswitch_keygen(ctx: BinFHEContext, sk: BinFHESecret,
     accumulator methods; reference: LWEEncryptionScheme::KeySwitchGen)."""
     p = ctx.params
     N, n = p.N, p.n_lwe
-    q_ks, d_ks, B_ks = p.q_ks, p.d_ks, 1 << p.log_bks
+    q_ks, d_ks, B_ks = p.q_ks, p.d_ks, p.B_ks
     a_ks = rng.integers(0, q_ks, size=(N, d_ks, B_ks, n), dtype=np.int64)
     e_ks = np.rint(rng.normal(0, p.sigma, size=(N, d_ks, B_ks))).astype(np.int64)
     vals = np.arange(B_ks, dtype=np.int64)[None, None, :]
-    targets = (vals * (1 << (p.log_bks * np.arange(d_ks)))[None, :, None]
+    powers = np.array([pow(B_ks, d, q_ks) for d in range(d_ks)], np.int64)
+    targets = (vals * powers[None, :, None] % q_ks
                * sk.z_ring[:, None, None]) % q_ks
     b_ks = (np.einsum("jdvn,n->jdv", a_ks, sk.s_lwe) + e_ks + targets) % q_ks
     return (jnp.asarray(a_ks.astype(np.int32)),
@@ -554,37 +753,22 @@ def _run_blind_rotation(ctx: BinFHEContext, bk: BootstrapKey, acc: U64,
     return _blind_rotate_fn(ctx)(acc, a_dev, bk.ek_lo, bk.ek_hi)
 
 
-def _extract_and_keyswitch(ctx: BinFHEContext, bk: BootstrapKey,
-                           acc_coeff: U64) -> list:
-    """Batched: sample-extract LWE(Q, N) from each accumulator, key-switch
-    to the LWE secret at q_ks, mod-switch to q (reference:
-    binfhe-base-scheme.cpp:118-122 -> lwe-pke.cpp:200)."""
+def _lwe_keyswitch_batch(ctx: BinFHEContext, ks_a, ks_b, a1: np.ndarray,
+                         b1: np.ndarray):
+    """LWE key switch dim N -> n_lwe at modulus q_ks (reference:
+    LWEEncryptionScheme::KeySwitch, lwe-pke.cpp:200): digit-decompose each
+    input coordinate in base B_ks and gather-accumulate key rows.
+    a1: [B, N] mod q_ks, b1: [B]. Returns (a_out [B, n], b_out [B])."""
     p = ctx.params
-    N, Q, q_ks, q = p.N, p.Q, p.q_ks, p.q
-    lo = np.asarray(acc_coeff.lo).astype(np.int64)
-    hi = np.asarray(acc_coeff.hi).astype(np.int64)
-    vals = (hi << 32) | lo  # Q < 2^31: exact in int64
-    c0 = vals[:, 0, :]  # [B, N]
-    c1 = vals[:, 1, :]
-    batch = c0.shape[0]
-    # extraction: phase = c0[0] + sum_j a_j z_j with
-    # a = (c1[0], -c1[N-1], ..., -c1[1])
-    b_N = (c0[:, 0] + Q // 8) % Q  # + Q/8 maps the halves to {0, Q/4}
-    a_N = np.concatenate(
-        [c1[:, :1], (-c1[:, :0:-1]) % Q], axis=1)  # [B, N]
-    # mod switch Q -> q_ks (round-half-up)
-    b1 = (b_N * q_ks * 2 + Q) // (2 * Q) % q_ks
-    a1 = ((a_N * q_ks * 2 + Q) // (2 * Q)) % q_ks
-    # key switch: digit-decompose and gather key rows
-    B_ks = 1 << p.log_bks
+    N, q_ks, B_ks = p.N, p.q_ks, p.B_ks
     digits = []
     rem = a1.copy()
     for d in range(p.d_ks):
         digits.append(rem % B_ks)
         rem //= B_ks
     digits = np.stack(digits, axis=2)  # [B, N, d_ks]
-    ks_a = np.asarray(bk.ks_a).astype(np.int64)  # [N, d_ks, B_ks, n]
-    ks_b = np.asarray(bk.ks_b).astype(np.int64)
+    ks_a = np.asarray(ks_a).astype(np.int64)  # [N, d_ks, B_ks, n]
+    ks_b = np.asarray(ks_b).astype(np.int64)
     j_idx = np.arange(N)[None, :, None]
     d_idx = np.arange(p.d_ks)[None, None, :]
     sel_a = ks_a[j_idx, d_idx, digits]  # [B, N, d_ks, n]
@@ -593,16 +777,31 @@ def _extract_and_keyswitch(ctx: BinFHEContext, bk: BootstrapKey,
     # so in (a, b) convention: a_out = sum(sel_a), b_out = b1 + sum(sel_b)
     a_out = sel_a.sum(axis=(1, 2)) % q_ks       # [B, n]
     b_out = (b1 + sel_b.sum(axis=(1, 2))) % q_ks
-    # mod switch q_ks -> q
-    b2 = (b_out * q * 2 + q_ks) // (2 * q_ks) % q
-    a2 = ((a_out * q * 2 + q_ks) // (2 * q_ks)) % q
-    return [LWECiphertext(a2[i], int(b2[i]), q) for i in range(batch)]
+    return a_out, b_out
+
+
+def _extract_and_keyswitch(ctx: BinFHEContext, bk: BootstrapKey,
+                           acc_coeff: U64) -> list:
+    """Batched: sample-extract LWE(Q, N) from each accumulator, key-switch
+    to the LWE secret at q_ks, mod-switch to q (reference:
+    binfhe-base-scheme.cpp:118-122 -> lwe-pke.cpp:200). The + Q/8 offset
+    maps the rotation halves to {0, Q/4}."""
+    return _extract_and_keyswitch_offset(ctx, bk, acc_coeff,
+                                         offset=ctx.params.Q // 8)
 
 
 def bootstrap_raw_batch(ctx: BinFHEContext, bk: BootstrapKey, a_q, b_q
                         ) -> list:
-    """Batched PBS of LWE samples at modulus q = 2N: a_q [B, n], b_q [B]."""
-    acc = _bootstrap_core(ctx, bk, a_q, b_q)
+    """Batched PBS of LWE samples at the gate modulus q: a_q [B, n],
+    b_q [B]. q must divide 2N; exponents are scaled by 2N/q (reference:
+    BootstrapGateCore's GetPolyModulus()/GetModulus() ratio)."""
+    p = ctx.params
+    M = 2 * p.N
+    assert M % p.q == 0, "gate modulus must divide 2N"
+    f = M // p.q
+    a_2n = (np.asarray(a_q, dtype=np.int64) * f) % M
+    b_2n = (np.asarray(b_q, dtype=np.int64) * f) % M
+    acc = _bootstrap_core(ctx, bk, a_2n, b_2n)
     return _extract_and_keyswitch(ctx, bk, acc)
 
 
@@ -709,8 +908,10 @@ def eval_func(ctx: BinFHEContext, bk: BootstrapKey, ct: LWECiphertext,
     for k in range(N):
         m_at = (p - int(np.rint(k * p / (2.0 * N)))) % p
         tv[k] = (lut[m_at] * Q // p) % Q
-    acc = _bootstrap_core_tv(ctx, bk, np.asarray(ct.a)[None, :],
-                             np.asarray([ct.b]), tv)
+    f = (2 * N) // q     # exponent scale when the gate modulus q < 2N
+    acc = _bootstrap_core_tv(ctx, bk,
+                             (np.asarray(ct.a, np.int64) * f)[None, :] % (2 * N),
+                             np.asarray([(ct.b * f) % (2 * N)]), tv)
     return _extract_and_keyswitch_offset(ctx, bk, acc, offset=0)[0]
 
 
@@ -901,21 +1102,7 @@ def _extract_and_keyswitch_offset(ctx, bk, acc_coeff, offset: int,
     a_N = np.concatenate([c1[:, :1], (-c1[:, :0:-1]) % Q], axis=1)
     b1 = (b_N * q_ks * 2 + Q) // (2 * Q) % q_ks
     a1 = ((a_N * q_ks * 2 + Q) // (2 * Q)) % q_ks
-    B_ks = 1 << p.log_bks
-    digits = []
-    rem = a1.copy()
-    for d in range(p.d_ks):
-        digits.append(rem % B_ks)
-        rem //= B_ks
-    digits = np.stack(digits, axis=2)
-    ks_a = np.asarray(bk.ks_a).astype(np.int64)
-    ks_b = np.asarray(bk.ks_b).astype(np.int64)
-    j_idx = np.arange(N)[None, :, None]
-    d_idx = np.arange(p.d_ks)[None, None, :]
-    sel_a = ks_a[j_idx, d_idx, digits]
-    sel_b = ks_b[j_idx, d_idx, digits]
-    a_out = sel_a.sum(axis=(1, 2)) % q_ks
-    b_out = (b1 + sel_b.sum(axis=(1, 2))) % q_ks
+    a_out, b_out = _lwe_keyswitch_batch(ctx, bk.ks_a, bk.ks_b, a1, b1)
     b2 = (b_out * q * 2 + q_ks) // (2 * q_ks) % q
     a2 = ((a_out * q * 2 + q_ks) // (2 * q_ks)) % q
     return [LWECiphertext(a2[i], int(b2[i]), q) for i in range(batch)]

@@ -42,10 +42,18 @@ class CKKSParams:
     sigma: float = 3.19
     secret_hw: int = 0      # 0 = dense uniform ternary; else sparse weight
     security_level: str = "HEStd_NotSet"  # HE-standard level, see utils.security
+    # Scaling technique (reference: ScalingTechnique, constants.h:59-64).
+    # FIXEDMANUAL: the caller rescales. FIXEDAUTO: ops rescale inputs
+    # automatically, every level treated as the nominal 2^p scale.
+    # FLEXIBLEAUTO: ops track exact per-depth canonical scales
+    # (ckks_advanced). FLEXIBLEAUTOEXT: FLEXIBLEAUTO + one extra tower so
+    # fresh ciphertexts carry scale 2^p * q_L and the first rescale is free.
+    scaling_technique: str = "FIXEDMANUAL"
 
     @property
     def num_towers(self) -> int:
-        return self.mult_depth + 1
+        extra = 1 if self.scaling_technique == "FLEXIBLEAUTOEXT" else 0
+        return self.mult_depth + 1 + extra
 
     @property
     def num_slots(self) -> int:
@@ -249,9 +257,18 @@ def encode(ctx: CKKSContext, values: Sequence[complex],
 def encrypt(ctx: CKKSContext, pk: PublicKey, values: Sequence[complex],
             rng: np.random.Generator) -> Ciphertext:
     """(role of PKEBase::Encrypt / EncryptZeroCore,
-    ``pke/lib/schemebase/base-pke.cpp:97-186``)."""
+    ``pke/lib/schemebase/base-pke.cpp:97-186``).
+
+    Under FLEXIBLEAUTOEXT the fresh ciphertext carries scale 2^(2p) on the
+    extra tower (encode at 2^p, then an EXACT integer multiply by 2^p —
+    float64 encoding at 2^(2p) would lose the low bits); the first auto op
+    rescales it onto the canonical chain (ckks_advanced.canonicalize)."""
     basis = ctx.basis()
     m = encode(ctx, values)
+    scale = ctx.scale
+    if ctx.params.scaling_technique == "FLEXIBLEAUTOEXT":
+        m = dcrt.mul_scalar_int(m, 1 << ctx.params.scaling_mod_size)
+        scale = ctx.scale * ctx.scale
     v_rows = sampling.signed_to_rns_rows(
         sampling.ternary_coeffs(ctx.n, rng), basis.moduli)
     v = dcrt.to_eval(dcrt.from_int_rows(basis, v_rows, Format.COEFF))
@@ -259,7 +276,7 @@ def encrypt(ctx: CKKSContext, pk: PublicKey, values: Sequence[complex],
     e1 = _sample_error_poly(ctx, basis, rng)
     c0 = dcrt.add(dcrt.add(dcrt.mul(pk.b, v), e0), m)
     c1 = dcrt.add(dcrt.mul(pk.a, v), e1)
-    return Ciphertext((c0, c1), ctx.scale)
+    return Ciphertext((c0, c1), scale)
 
 
 def decrypt_poly(ctx: CKKSContext, sk: SecretKey, ct: Ciphertext) -> RnsPoly:

@@ -87,14 +87,27 @@ def normalized_mult_const(ctx: CKKSContext, ct: Ciphertext, value: complex,
     return ct
 
 
+def canonicalize(ctx: CKKSContext, ct: Ciphertext) -> Ciphertext:
+    """FLEXIBLEAUTOEXT entry adjustment (reference: the automatic first
+    ModReduce of AUTOEXT fresh ciphertexts): a fresh ct carries scale
+    2^(2p) on the extra tower; one rescale lands it exactly on the
+    canonical chain (s_1 = 2^(2p) / q_{L-1})."""
+    if (ctx.params.scaling_technique == "FLEXIBLEAUTOEXT"
+            and depth_of(ctx, ct) == 0):
+        return ckks.rescale(ct)
+    return ct
+
+
 def add_auto(ctx: CKKSContext, ct1: Ciphertext, ct2: Ciphertext
              ) -> Ciphertext:
+    ct1, ct2 = canonicalize(ctx, ct1), canonicalize(ctx, ct2)
     k = max(depth_of(ctx, ct1), depth_of(ctx, ct2))
     return ckks.eval_add(adjust_depth(ctx, ct1, k), adjust_depth(ctx, ct2, k))
 
 
 def sub_auto(ctx: CKKSContext, ct1: Ciphertext, ct2: Ciphertext
              ) -> Ciphertext:
+    ct1, ct2 = canonicalize(ctx, ct1), canonicalize(ctx, ct2)
     k = max(depth_of(ctx, ct1), depth_of(ctx, ct2))
     return ckks.eval_sub(adjust_depth(ctx, ct1, k), adjust_depth(ctx, ct2, k))
 
@@ -103,10 +116,91 @@ def mult_auto(ctx: CKKSContext, ct1: Ciphertext, ct2: Ciphertext,
               evk: keyswitch.KSKey) -> Ciphertext:
     """Multiply at canonical scales: result lands at depth k+1, scale
     s_{k+1} — the composable EvalMult."""
+    ct1, ct2 = canonicalize(ctx, ct1), canonicalize(ctx, ct2)
     k = max(depth_of(ctx, ct1), depth_of(ctx, ct2))
     a = adjust_depth(ctx, ct1, k)
     b = adjust_depth(ctx, ct2, k)
     return ckks.rescale(ckks.eval_mult_relin(a, b, evk))
+
+
+# ---------------------------------------------------------------------------
+# FIXEDAUTO (reference: ScalingTechnique FIXEDAUTO, constants.h:59-64):
+# ops insert the rescale automatically, and every level's scaling factor is
+# TREATED as the nominal 2^p (the documented approximation of the FIXED
+# techniques — the per-level error is |q_i - 2^p| / 2^p).
+# ---------------------------------------------------------------------------
+
+
+def _fixed_deg(ctx: CKKSContext, ct: Ciphertext) -> int:
+    return 2 if ct.scale > 1.5 * ctx.scale else 1
+
+
+def _fixed_rescale(ctx: CKKSContext, ct: Ciphertext) -> Ciphertext:
+    r = ckks.rescale(ct)
+    return Ciphertext(r.polys, float(ctx.scale))   # snap to nominal 2^p
+
+
+def _match_levels(ct1: Ciphertext, ct2: Ciphertext):
+    if ct1.towers > ct2.towers:
+        ct1 = ckks.level_reduce(ct1, ct1.towers - ct2.towers)
+    elif ct2.towers > ct1.towers:
+        ct2 = ckks.level_reduce(ct2, ct2.towers - ct1.towers)
+    return ct1, ct2
+
+
+def _fixed_align(ctx: CKKSContext, ct1: Ciphertext, ct2: Ciphertext):
+    if _fixed_deg(ctx, ct1) == 2:
+        ct1 = _fixed_rescale(ctx, ct1)
+    if _fixed_deg(ctx, ct2) == 2:
+        ct2 = _fixed_rescale(ctx, ct2)
+    return _match_levels(ct1, ct2)
+
+
+def mult_fixed_auto(ctx: CKKSContext, ct1: Ciphertext, ct2: Ciphertext,
+                    evk: keyswitch.KSKey) -> Ciphertext:
+    a, b = _fixed_align(ctx, ct1, ct2)
+    out = ckks.eval_mult_relin(a, b, evk)
+    return Ciphertext(out.polys, float(ctx.scale) ** 2)
+
+
+def add_fixed_auto(ctx: CKKSContext, ct1: Ciphertext, ct2: Ciphertext
+                   ) -> Ciphertext:
+    a, b = _fixed_align(ctx, ct1, ct2)
+    return ckks.eval_add(a, b)
+
+
+def sub_fixed_auto(ctx: CKKSContext, ct1: Ciphertext, ct2: Ciphertext
+                   ) -> Ciphertext:
+    a, b = _fixed_align(ctx, ct1, ct2)
+    return ckks.eval_sub(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Technique dispatch: ONE public auto API whatever the context's configured
+# ScalingTechnique (the reference's CryptoContext does this inside
+# EvalMult/EvalAdd via LeveledSHECKKSRNS::EvalMult + AdjustLevelsAndDepths).
+# ---------------------------------------------------------------------------
+
+
+def eval_mult_auto(ctx: CKKSContext, ct1: Ciphertext, ct2: Ciphertext,
+                   evk: keyswitch.KSKey) -> Ciphertext:
+    if ctx.params.scaling_technique == "FIXEDAUTO":
+        return mult_fixed_auto(ctx, ct1, ct2, evk)
+    return mult_auto(ctx, ct1, ct2, evk)
+
+
+def eval_add_auto(ctx: CKKSContext, ct1: Ciphertext, ct2: Ciphertext
+                  ) -> Ciphertext:
+    if ctx.params.scaling_technique == "FIXEDAUTO":
+        return add_fixed_auto(ctx, ct1, ct2)
+    return add_auto(ctx, ct1, ct2)
+
+
+def eval_sub_auto(ctx: CKKSContext, ct1: Ciphertext, ct2: Ciphertext
+                  ) -> Ciphertext:
+    if ctx.params.scaling_technique == "FIXEDAUTO":
+        return sub_fixed_auto(ctx, ct1, ct2)
+    return sub_auto(ctx, ct1, ct2)
 
 
 def square_auto(ctx: CKKSContext, ct: Ciphertext,

@@ -118,12 +118,13 @@ def keygen(ctx: CKKSContext, bctx: binfhe.BinFHEContext,
     # LWE switching key: encryptions of v * B_ks^d * sk_j under s_lwe at
     # q_sw (same structure as the binfhe keyswitch key, keyed by the CKKS
     # secret coefficients; reference: EvalCKKStoFHEWKeyGen's ksk)
-    d_ks, B_ks = p.d_ks, 1 << p.log_bks
+    d_ks, B_ks = p.d_ks, p.B_ks
     z = sk.coeffs.astype(np.int64)            # [N] ternary
     a_ks = rng.integers(0, q_sw, size=(N, d_ks, B_ks, n_lwe), dtype=np.int64)
     e_ks = np.rint(rng.normal(0, p.sigma, size=(N, d_ks, B_ks))).astype(np.int64)
     vals = np.arange(B_ks, dtype=np.int64)[None, None, :]
-    targets = (vals * (1 << (p.log_bks * np.arange(d_ks)))[None, :, None]
+    powers = np.array([pow(B_ks, d, q_sw) for d in range(d_ks)], np.int64)
+    targets = (vals * powers[None, :, None] % q_sw
                * z[:, None, None]) % q_sw
     b_ks = (np.einsum("jdvn,n->jdv", a_ks, sk_fhew.s_lwe) + e_ks
             + targets) % q_sw
@@ -183,7 +184,7 @@ def eval_ckks_to_fhew(ctx: CKKSContext, bctx: binfhe.BinFHEContext,
     q_sw = keys.q_sw
     pp = bctx.params
     q_out = pp.q
-    B_ks, d_ks = 1 << pp.log_bks, pp.d_ks
+    B_ks, d_ks = pp.B_ks, pp.d_ks
     res = []
     for a_j, b_j in out:
         a1 = np.array([(ai * q_sw * 2 + q0) // (2 * q0) % q_sw

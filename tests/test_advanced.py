@@ -33,6 +33,29 @@ def test_pre_reencrypt(setup):
     assert np.max(np.abs(wrong - v)) > 1e-2
 
 
+def test_pre_reencrypt_hra(setup):
+    """HRA-secure PRE (reference base-pre.cpp:55-70): re-randomization via
+    encrypt-zero under the target pk + 2^20 flooding noise."""
+    ctx, pk, sk, _ = setup
+    pk2, sk2 = ckks.keygen(ctx, RNG)
+    rk = pre.rekey_gen(ctx, sk, sk2, RNG)
+    v = RNG.normal(size=8)
+    ct = ckks.encrypt(ctx, pk, v, RNG)
+    # the re-randomizing zero-encryption is under the SENDER's pk (what
+    # the reference's UnitTestPRE passes)
+    ct2 = pre.re_encrypt(ct, rk, ctx=ctx, pk=pk, mode="FIXED_NOISE_HRA",
+                         rng=RNG)
+    out = ckks.decrypt(ctx, sk2, ct2, num_slots=8)
+    assert np.max(np.abs(out - v)) < 1e-3   # 2^20 flood under 2^40 scale
+    # two re-encryptions of the same ct must differ (re-randomized)
+    ct3 = pre.re_encrypt(ct, rk, ctx=ctx, pk=pk, mode="FIXED_NOISE_HRA",
+                         rng=RNG)
+    assert not np.array_equal(np.asarray(ct2.polys[0].data.lo),
+                              np.asarray(ct3.polys[0].data.lo))
+    # provable-security mode computes a much larger flooding parameter
+    assert pre.flooding_sigma(ctx, "NOISE_FLOODING_HRA") > pre.PRE_SD
+
+
 def test_mult_auto_different_depths(setup):
     ctx, pk, sk, evk = setup
     v = RNG.normal(size=8) * 0.5
@@ -85,3 +108,43 @@ def test_eval_chebyshev_exp(setup):
                        adv.eval_chebyshev(ctx, ct, coeffs, -1.0, 1.0, evk),
                        num_slots=8)
     assert np.max(np.abs(out - np.exp(v))) < 1e-2
+
+
+def test_fixedauto_scaling():
+    """FIXEDAUTO (constants.h:59-64): ops insert rescales automatically and
+    every level is treated as the nominal 2^p scale."""
+    params = ckks.CKKSParams(ring_dim=128, mult_depth=4, scaling_mod_size=40,
+                             first_mod_size=50, dnum=2,
+                             scaling_technique="FIXEDAUTO")
+    ctx = ckks.gen_context(params)
+    pk, sk = ckks.keygen(ctx, RNG)
+    evk = ckks.relin_keygen(ctx, sk, RNG)
+    v = RNG.normal(size=8) * 0.5
+    ct = ckks.encrypt(ctx, pk, v, RNG)
+    x2 = adv.eval_mult_auto(ctx, ct, ct, evk)
+    assert x2.scale == ctx.scale ** 2        # deg-2, not yet rescaled
+    x3 = adv.eval_mult_auto(ctx, x2, ct, evk)  # auto-rescale inserted here
+    s = adv.eval_add_auto(ctx, x3, ct)         # deg+level auto-aligned
+    out = ckks.decrypt(ctx, sk, s, num_slots=8)
+    assert np.max(np.abs(out - (v ** 3 + v))) < 1e-3
+
+
+def test_flexibleautoext_scaling():
+    """FLEXIBLEAUTOEXT: one extra tower, fresh ciphertexts at scale 2^(2p),
+    first op rescales onto the canonical chain for free."""
+    params = ckks.CKKSParams(ring_dim=128, mult_depth=3, scaling_mod_size=40,
+                             first_mod_size=50, dnum=2,
+                             scaling_technique="FLEXIBLEAUTOEXT")
+    ctx = ckks.gen_context(params)
+    assert len(ctx.q_moduli) == 5            # mult_depth + 1 + extra
+    pk, sk = ckks.keygen(ctx, RNG)
+    evk = ckks.relin_keygen(ctx, sk, RNG)
+    v = RNG.normal(size=8) * 0.5
+    ct = ckks.encrypt(ctx, pk, v, RNG)
+    assert ct.scale == ctx.scale ** 2 and ct.towers == 5
+    assert np.max(np.abs(ckks.decrypt(ctx, sk, ct, num_slots=8) - v)) < 1e-5
+    x2 = adv.eval_mult_auto(ctx, ct, ct, evk)
+    x3 = adv.eval_mult_auto(ctx, x2, ct, evk)
+    s = adv.eval_add_auto(ctx, ct, x3)        # fresh + depth-3 mix
+    out = ckks.decrypt(ctx, sk, s, num_slots=8)
+    assert np.max(np.abs(out - (v ** 3 + v))) < 1e-4

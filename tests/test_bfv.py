@@ -130,3 +130,43 @@ def test_eval_mult_behz_matches_hps():
         ctx, sk, bfv.relinearize(bfv.eval_mult_behz(ctx, ct1, ct2), evk))[:8]
     assert hps == want
     assert behz == want
+
+
+def test_eval_mult_povq_variants():
+    """HPSPOVERQ / HPSPOVERQLEVELED (constants.h:127-128;
+    bfvrns-leveledshe.cpp:208-306): both decrypt to the exact products,
+    and the leveled variant actually drops towers at depth >= 2."""
+    rng = np.random.default_rng(77)
+    params = bfv.BFVParams(ring_dim=128, plaintext_modulus=3329,
+                           num_towers=4, mod_size=50, dnum=2)
+    ctx = bfv.gen_context(params)
+    pk, sk = bfv.keygen(ctx, rng)
+    evk = bfv.relin_keygen(ctx, sk, rng)
+    v1 = [int(x) for x in rng.integers(0, 3329, 8)] + [0] * (ctx.n - 8)
+    v2 = [int(x) for x in rng.integers(0, 3329, 8)] + [0] * (ctx.n - 8)
+    ct1 = bfv.encrypt(ctx, pk, v1, rng)
+    ct2 = bfv.encrypt(ctx, pk, v2, rng)
+    want = [(a * b) % 3329 for a, b in zip(v1[:8], v2[:8])]
+    povq = bfv.relinearize(bfv.eval_mult_povq(ctx, ct1, ct2), evk)
+    assert bfv.decrypt(ctx, sk, povq)[:8] == want
+    assert povq.noise_deg == 2
+
+    # LEVELED drop path: force a one-tower drop through the pipeline and
+    # check the result is still exact (fresh-ct noise fits Q_l easily)
+    from openfhe_tpu import dcrt as _dcrt
+    from openfhe_tpu.dcrt import Format as _Fmt
+    fn = bfv._mult_pipeline_povq(ctx, 1)
+    d0, d1, d2 = fn(ct1.polys[0].data, ct1.polys[1].data,
+                    ct2.polys[0].data, ct2.polys[1].data)
+    dropped = bfv.Ciphertext(tuple(
+        _dcrt.make_poly(ctx.basis(), d, _Fmt.EVAL) for d in (d0, d1, d2)),
+        noise_deg=2)
+    assert bfv.decrypt(ctx, sk, bfv.relinearize(dropped, evk))[:8] == want
+
+    # the noise estimator: no slack in this toy config (matches the
+    # reference's FindLevelsToDrop), but positive at production scale
+    assert bfv.find_levels_to_drop(ctx, 1) == 0
+    big = bfv.BFVParams(ring_dim=1 << 14, plaintext_modulus=65537,
+                        num_towers=10, mod_size=45, dnum=5)
+    big_ctx = bfv.gen_context(big)
+    assert bfv.find_levels_to_drop(big_ctx, 5) >= 1
