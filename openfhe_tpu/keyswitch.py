@@ -177,6 +177,58 @@ def keygen_with_a(params: KSParams, s_from: RnsPoly, s_to: RnsPoly,
     return KSKey(b_lo, b_hi, a_lo, a_hi, params)
 
 
+def keygen_batch(params: KSParams, s_from: RnsPoly, s_enc_list,
+                 rng: np.random.Generator, sigma: float = 3.19,
+                 error_scale: int = 1) -> list:
+    """Batch-generate switching keys for MANY encrypted secrets sharing
+    one target secret, in ONE device dispatch.
+
+    s_from is the shared target (the key ciphertexts decrypt under after
+    switching); s_enc_list the per-key encrypted secrets (e.g. the
+    automorphism images of s for a set of rotations). The per-key loop in
+    ``keygen`` costs dnum dispatches + host->device transfers each — at
+    bootstrap scale (dozens of rotation keys x 2^16 ring) that dominates
+    keygen time through the remote tunnel; here the whole set is one
+    [K, dnum, L, n] jit. (Reference role: the EvalAtIndexKeyGen /
+    EvalBootstrapKeyGen rotation-key loops.)
+    """
+    basis = full_basis(params)
+    assert s_from.basis == basis
+    K = len(s_enc_list)
+    n, moduli, dnum = params.n, basis.moduli, params.dnum
+    a_np = np.stack([np.stack([
+        np.asarray(sampling.uniform_rns_rows(n, moduli, rng))
+        for _ in range(dnum)]) for _ in range(K)])          # [K, dnum, L, n]
+    e_np = np.stack([np.stack([
+        np.asarray(sampling.signed_to_rns_rows(
+            sampling.gaussian_coeffs(n, rng, sigma) * error_scale, moduli))
+        for _ in range(dnum)]) for _ in range(K)])
+    a = from_int_array(a_np)
+    e_coeff = from_int_array(e_np)
+    s_enc = U64(jnp.stack([s.data.lo for s in s_enc_list])[:, None],
+                jnp.stack([s.data.hi for s in s_enc_list])[:, None])
+    fac, fac_pre = _digit_factor_table(params)
+    b = _digit_b_batch_fn(basis)(a, e_coeff, s_enc, s_from.data,
+                                 fac, fac_pre)
+    return [KSKey(b.lo[k], b.hi[k], a.lo[k], a.hi[k], params)
+            for k in range(K)]
+
+
+@lru_cache(maxsize=None)
+def _digit_b_batch_fn(basis: RnsBasis):
+    """Jitted batched b = f_j s_enc + e - a s_target over [K, dnum, L, n]."""
+    mod = basis.mod
+
+    @jax.jit
+    def fn(a, e_coeff, s_enc, s_target, fac, fac_pre):
+        e = ntt_ops.forward(basis.plan, e_coeff)
+        gterm = mul_mod_shoup(s_enc, fac, fac_pre, mod.q)
+        a_s = mul_mod(a, s_target, mod)
+        return sub_mod(add_mod(gterm, e, mod.q), a_s, mod.q)
+
+    return fn
+
+
 def key_a_datas(key: KSKey):
     """The per-digit a components, for reuse by the next party."""
     return [U64(key.a_lo[j], key.a_hi[j]) for j in range(key.params.dnum)]

@@ -222,7 +222,7 @@ def decrypt(ctx: BFVContext, sk: SecretKey, ct: Ciphertext,
         acc = dcrt.add(acc, dcrt.mul(c, s_pow))
         s_pow = dcrt.mul(s_pow, s)
     coeff = dcrt.to_coeff(acc)
-    scaled = _decrypt_scale(ctx)(coeff.data)  # [1, n] residues mod t
+    scaled = _decrypt_scale(ctx.t, basis.moduli)(coeff.data)
     from ..ops.limb import to_int_array
     vals = [int(v) for v in to_int_array(scaled)[0]]
     slots = encoding.packed_decode(vals, ctx.n, ctx.t)
@@ -239,7 +239,7 @@ def _decrypt_coeffs(ctx: BFVContext, sk: SecretKey, ct: Ciphertext) -> list:
         acc = dcrt.add(acc, dcrt.mul(c, s_pow))
         s_pow = dcrt.mul(s_pow, s)
     coeff = dcrt.to_coeff(acc)
-    scaled = _decrypt_scale(ctx)(coeff.data)
+    scaled = _decrypt_scale(ctx.t, basis.moduli)(coeff.data)
     from ..ops.limb import to_int_array
     return [int(v) for v in to_int_array(scaled)[0]]
 
@@ -255,14 +255,36 @@ def decrypt_string(ctx: BFVContext, sk: SecretKey, ct: Ciphertext) -> str:
 
 
 @lru_cache(maxsize=None)
-def _decrypt_scale(ctx: BFVContext):
-    qm, t = ctx.q_moduli, ctx.t
+def _decrypt_scale(t: int, moduli: Tuple[int, ...]):
+    """round(t * x / Q_l) mod t over the CIPHERTEXT's basis (compressed
+    ciphertexts decrypt over fewer towers)."""
 
     @jax.jit
     def fn(x: U64) -> U64:
-        return rns.scale_and_round(x, qm, (t,), t, qm)
+        return rns.scale_and_round(x, moduli, (t,), t, moduli)
 
     return fn
+
+
+def compress(ctx: BFVContext, ct: Ciphertext, towers_left: int = 1
+             ) -> Ciphertext:
+    """Shrink the ciphertext modulus before transmission/decryption
+    (role of LeveledSHEBFVRNS::Compress, bfvrns-leveledshe.cpp:901-934):
+    repeated DropLastElementAndScale; Delta becomes Q_l/t and the rounding
+    error is absorbed as noise."""
+    assert len(ct.polys) == 2, "relinearize before compressing"
+    polys = list(ct.polys)
+    while polys[0].basis.L > towers_left:
+        moduli = polys[0].basis.moduli
+        nb = polys[0].basis.drop_last()
+        fn = _compress_step(moduli)
+        polys = [dcrt.make_poly(nb, fn(p.data), Format.EVAL) for p in polys]
+    return Ciphertext(tuple(polys), noise_deg=ct.noise_deg)
+
+
+@lru_cache(maxsize=None)
+def _compress_step(moduli: Tuple[int, ...]):
+    return jax.jit(lambda d: rns.rescale_eval(d, moduli))
 
 
 def eval_add(ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:

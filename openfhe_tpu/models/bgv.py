@@ -262,6 +262,16 @@ def eval_mult_relin(ct1: Ciphertext, ct2: Ciphertext,
     return relinearize(eval_mult(ct1, ct2), evk)
 
 
+def compress(ctx: BGVContext, ct: Ciphertext, towers_left: int = 1
+             ) -> Ciphertext:
+    """Shrink the ciphertext modulus before transmission/decryption
+    (role of LeveledSHERNS::Compress, rns-leveledshe.cpp:358-372, with
+    BGV's t-preserving ModReduce as the per-tower drop)."""
+    while ct.basis.L > towers_left:
+        ct = mod_reduce(ctx, ct)
+    return ct
+
+
 def mod_reduce(ctx: BGVContext, ct: Ciphertext) -> Ciphertext:
     """BGV modulus switch: divide by q_last keeping plaintext mod t fixed.
 

@@ -219,16 +219,18 @@ def rotation_indices_to_galois(n: int, rot: int) -> int:
 
 def rot_keygen(ctx: CKKSContext, sk: SecretKey, rotations: Sequence[int],
                rng: np.random.Generator) -> Dict[int, keyswitch.KSKey]:
-    """Keys for sigma_k(s) -> s for each requested slot rotation."""
+    """Keys for sigma_k(s) -> s for each requested slot rotation. The
+    whole set is generated in ONE batched device dispatch
+    (keyswitch.keygen_batch) — at bootstrap scale the per-key dispatch
+    loop dominated keygen wall time through the remote tunnel."""
     qp = ctx.full_qp_basis
     s = sk.poly(qp)
-    keys = {}
-    for r in rotations:
-        k = rotation_indices_to_galois(ctx.n, r)
-        s_rot = dcrt.automorphism(s, k)
-        keys[r] = keyswitch.keygen(ctx.ks_params, s, s_rot, rng,
-                                   ctx.params.sigma)
-    return keys
+    rotations = list(rotations)
+    s_rots = [dcrt.automorphism(s, rotation_indices_to_galois(ctx.n, r))
+              for r in rotations]
+    keys = keyswitch.keygen_batch(ctx.ks_params, s, s_rots, rng,
+                                  ctx.params.sigma)
+    return dict(zip(rotations, keys))
 
 
 def conj_keygen(ctx: CKKSContext, sk: SecretKey,
@@ -419,6 +421,19 @@ def level_reduce(ct: Ciphertext, levels: int = 1) -> Ciphertext:
     polys = [dcrt.make_poly(new_basis, U64(p.lo[:L], p.hi[:L]), Format.EVAL)
              for p in ct.polys]
     return Ciphertext(tuple(polys), ct.scale)
+
+
+def compress(ctx: CKKSContext, ct: Ciphertext, towers_left: int = 1
+             ) -> Ciphertext:
+    """Shrink the ciphertext modulus before transmission/decryption
+    (role of CryptoContext::Compress -> LeveledSHERNS::Compress,
+    rns-leveledshe.cpp:358-372): rescale any pending noise degree away,
+    then drop towers."""
+    while ct.scale > 1.5 * ctx.scale and ct.towers > towers_left:
+        ct = rescale(ct)
+    if ct.towers > towers_left:
+        ct = level_reduce(ct, ct.towers - towers_left)
+    return ct
 
 
 def eval_rotate(ct: Ciphertext, rot: int, rot_key: keyswitch.KSKey

@@ -161,51 +161,47 @@ def eval_ckks_to_fhew(ctx: CKKSContext, bctx: binfhe.BinFHEContext,
     # 2. drop to the last tower and read the coefficient arrays
     poly_ct = ckks.level_reduce(poly_ct, poly_ct.towers - 1)
     from ..ops.limb import to_int_array
-    c0 = [int(v) for v in
-          to_int_array(dcrt.to_coeff(poly_ct.polys[0]).data)[0]]
-    c1 = [int(v) for v in
-          to_int_array(dcrt.to_coeff(poly_ct.polys[1]).data)[0]]
+    c0 = to_int_array(dcrt.to_coeff(poly_ct.polys[0]).data)[0] \
+        .astype(np.int64)
+    c1 = to_int_array(dcrt.to_coeff(poly_ct.polys[1]).data)[0] \
+        .astype(np.int64)
 
-    # 3. extract LWE samples under the CKKS coefficient key at q0
-    out = []
-    for j in range(num_values):
-        pos = j * gap
-        b_j = c0[pos]
-        a_j = [0] * n
-        for i in range(n):
-            if i <= pos:
-                a_j[i] = c1[pos - i]
-            else:
-                a_j[i] = (q0 - c1[n + pos - i]) % q0
-        out.append((a_j, b_j))
+    # 3. batched LWE extraction under the CKKS coefficient key at q0:
+    #    a_j[i] = c1[pos-i] for i <= pos, else -c1[n+pos-i]  (negacyclic)
+    pos = (np.arange(num_values, dtype=np.int64) * gap)[:, None]  # [k, 1]
+    src = pos - np.arange(n, dtype=np.int64)[None, :]             # [k, n]
+    wrapped = c1[src % n]
+    a = np.where(src >= 0, wrapped, (q0 - wrapped) % q0)          # [k, n]
+    b = c0[pos[:, 0]]                                             # [k]
 
-    # 4. mod switch q0 -> q_sw (exact python ints), key switch N -> n_lwe,
-    #    mod switch to the FHEW gate modulus
+    # 4. mod switch q0 -> q_sw (object ints: q0 * q_sw overflows int64),
+    #    batched key switch N -> n_lwe, mod switch to the gate modulus
     q_sw = keys.q_sw
     pp = bctx.params
     q_out = pp.q
     B_ks, d_ks = pp.B_ks, pp.d_ks
-    res = []
-    for a_j, b_j in out:
-        a1 = np.array([(ai * q_sw * 2 + q0) // (2 * q0) % q_sw
-                       for ai in a_j], dtype=np.int64)
-        b1 = (b_j * q_sw * 2 + q0) // (2 * q0) % q_sw
-        # key switch (reference: LWEEncryptionScheme::KeySwitch)
-        a_acc = np.zeros(pp.n_lwe, dtype=np.int64)
-        b_acc = b1
-        rem = a1.copy()
-        for d in range(d_ks):
-            dig = rem % B_ks
-            rem //= B_ks
-            a_acc = (a_acc + keys.lwe_ks_a[np.arange(len(a1)), d, dig]
-                     .sum(axis=0)) % q_sw
-            b_acc = (b_acc + int(keys.lwe_ks_b[np.arange(len(a1)), d, dig]
-                                 .sum())) % q_sw
-        # final mod switch to the gate modulus
-        a2 = ((a_acc * q_out * 2 + q_sw) // (2 * q_sw)) % q_out
-        b2 = ((b_acc * q_out * 2 + q_sw) // (2 * q_sw)) % q_out
-        res.append(LWECiphertext(a2, int(b2), q_out))
-    return res
+    a1 = ((a.astype(object) * q_sw * 2 + q0) // (2 * q0) % q_sw) \
+        .astype(np.int64)                                         # [k, n]
+    b1 = ((b.astype(object) * q_sw * 2 + q0) // (2 * q0) % q_sw) \
+        .astype(np.int64)                                         # [k]
+    # key switch (reference: LWEEncryptionScheme::KeySwitch), batched
+    digits = []
+    rem = a1.copy()
+    for _ in range(d_ks):
+        digits.append(rem % B_ks)
+        rem //= B_ks
+    digits = np.stack(digits, axis=2)                             # [k, n, d]
+    j_idx = np.arange(n)[None, :, None]
+    d_idx = np.arange(d_ks)[None, None, :]
+    sel_a = keys.lwe_ks_a[j_idx, d_idx, digits]                   # [k,n,d,nl]
+    sel_b = keys.lwe_ks_b[j_idx, d_idx, digits]                   # [k,n,d]
+    a_acc = sel_a.sum(axis=(1, 2)) % q_sw                         # [k, nl]
+    b_acc = (b1 + sel_b.sum(axis=(1, 2))) % q_sw                  # [k]
+    # final mod switch to the gate modulus
+    a2 = ((a_acc * q_out * 2 + q_sw) // (2 * q_sw)) % q_out
+    b2 = ((b_acc * q_out * 2 + q_sw) // (2 * q_sw)) % q_out
+    return [LWECiphertext(a2[i], int(b2[i]), q_out)
+            for i in range(num_values)]
 
 
 # ---------------------------------------------------------------------------
@@ -215,25 +211,37 @@ def eval_ckks_to_fhew(ctx: CKKSContext, bctx: binfhe.BinFHEContext,
 
 def eval_fhew_to_ckks(ctx: CKKSContext, bctx: binfhe.BinFHEContext,
                       pre: SchemeSwitchPrecomp, keys: SchemeSwitchKeys,
-                      cts: Sequence[LWECiphertext]) -> Ciphertext:
+                      cts: Sequence[LWECiphertext],
+                      slot_map: np.ndarray | None = None) -> Ciphertext:
     """(role of EvalFHEWtoCKKS, ckksrns-schemeswitching.h:105). Packs the
     LWE ciphertexts' messages into CKKS slots. Gate encoding (p = 4,
-    phase = m * q/4, m in {0, 1}): slot i of the result reads m_i."""
+    phase = m * q/4, m in {0, 1}): slot i of the result reads m_i.
+
+    slot_map (optional, int [num_slots]) assigns ANY ciphertext index to
+    ANY slot (-1 = leave zero); the diagonal method is position-generic,
+    so e.g. a period-tiled layout costs nothing extra. Default: ct i in
+    slot i."""
     n_lwe = bctx.params.n_lwe
     k = len(cts)
     assert k <= n_lwe, "pack at most n_lwe values per call"
     q = cts[0].modulus
     n_half = ctx.params.num_slots
+    if slot_map is None:
+        slot_map = np.full(n_half, -1, dtype=np.int64)
+        slot_map[:k] = np.arange(k)
+    live = slot_map >= 0
+    p_idx = np.arange(n_half)
 
     A = np.stack([np.asarray(c.a, dtype=np.float64) for c in cts])  # [k, n]
     b = np.array([float(c.b) for c in cts])
 
-    # t = b/q - (A/q) s via the diagonal method over ct_s
+    # t = b/q - (A/q) s via the diagonal method over ct_s: slot p of
+    # rot(ct_s, d) holds s[(p + d) mod n_lwe], so weight w[p] picks the
+    # matching coefficient of the ciphertext assigned to slot p
     acc = None
     for d in range(n_lwe):
         w = np.zeros(n_half)
-        for t in range(k):
-            w[t] = -A[t, (t + d) % n_lwe] / q
+        w[live] = -A[slot_map[live], (p_idx[live] + d) % n_lwe] / q
         if not np.any(w):
             continue
         rot = keys.ct_s if d == 0 else \
@@ -242,9 +250,149 @@ def eval_fhew_to_ckks(ctx: CKKSContext, bctx: binfhe.BinFHEContext,
         acc = term if acc is None else ckks.eval_add(acc, term)
     acc = ckks.rescale(acc)
     bvec = np.zeros(n_half)
-    bvec[:k] = b / q
+    bvec[live] = b[slot_map[live]] / q
     t_ct = ckks.eval_add_plain(ctx, acc, bvec)
 
     # wrap-free message recovery: sin(2*pi*t) = m for the gate encoding
     return adv.eval_chebyshev(ctx, t_ct, pre.cheb_coeffs,
                               -pre.B, pre.B, keys.evk)
+
+
+# ---------------------------------------------------------------------------
+# Comparison / Min / Max via scheme switching (reference:
+# EvalCompareSwitchPrecompute / EvalCompareSchemeSwitching /
+# EvalMinSchemeSwitching / EvalMaxSchemeSwitching,
+# ``ckksrns-schemeswitching.h:128-152``, ``.cpp:1758-2074``): compare
+# approximate CKKS values exactly by switching their difference to FHEW,
+# evaluating a sign LUT per value with one programmable bootstrap, and
+# switching the (exact) sign bits back into CKKS slots.
+# ---------------------------------------------------------------------------
+
+
+def _sign_q4_lut(p: int) -> list:
+    """Negacyclic sign LUT mapping Z_p messages to +-p/4 (so the FHEW->CKKS
+    sine lands exactly on +-1): +p/4 for m in (0, p/2), -p/4 above."""
+    return ([0] + [p // 4] * (p // 2 - 1)
+            + [0] + [p - p // 4] * (p // 2 - 1))
+
+
+def _eval_signs(ctx, bctx, pre, keys, bk, diff_ct, num_values: int,
+                p_msg: int):
+    """CKKS difference -> FHEW sign bits -> CKKS slots in {-1, +1}
+    (+1 where diff > 0). The shared core of compare/min/max."""
+    lwes = eval_ckks_to_fhew(ctx, bctx, pre, keys, diff_ct, num_values,
+                             p_msg)
+    lut = _sign_q4_lut(p_msg)
+    signs = [binfhe.eval_func(bctx, bk, c, lut, p_msg) for c in lwes]
+    return eval_fhew_to_ckks(ctx, bctx, pre, keys, signs)
+
+
+def eval_compare_scheme_switching(ctx, bctx, pre, keys, bk,
+                                  ct1: Ciphertext, ct2: Ciphertext,
+                                  num_values: int, p_msg: int
+                                  ) -> Ciphertext:
+    """(role of EvalCompareSchemeSwitching, ckksrns-schemeswitching.cpp:
+    1779-1823). Slot i of the result is ~1.0 where ct1_i < ct2_i, ~0.0
+    where ct1_i > ct2_i (~0.5 at exact ties). The values must be integers
+    bounded by p_msg/2 in magnitude (the LWE message space)."""
+    diff = ckks.eval_sub(ct1, ct2)
+    s = _eval_signs(ctx, bctx, pre, keys, bk, diff, num_values, p_msg)
+    # (1 - s) / 2: +1 (ct1 > ct2) -> 0, -1 -> 1
+    half = np.full(ctx.params.num_slots, 0.5)
+    out = ckks.rescale(ckks.eval_mult_plain(ctx, s, -half))
+    return ckks.eval_add_plain(ctx, out, half)
+
+
+def _tile_full(ctx, block: np.ndarray) -> np.ndarray:
+    """Tile a length-s block across all num_slots (the LT's period-s slot
+    convention: every ciphertext entering eval_ckks_to_fhew must be
+    s-periodic over the full slot vector)."""
+    return np.tile(block, ctx.params.num_slots // len(block))
+
+
+def extremum_rotation_indices(ctx, num_values: int) -> list:
+    """Rotation key indices eval_min/max_scheme_switching consumes (just
+    the positive pair strides — the tiled diagonal-method layout makes
+    every mask periodic for free, so no expand rotations are needed)."""
+    idx = set()
+    m = 1
+    while m < num_values:
+        idx.add(num_values // (2 * m))
+        m *= 2
+    return sorted(idx)
+
+
+def _eval_extremum(ctx, bctx, pre, keys, bk, evk, rot_keys, ct,
+                   num_values: int, p_msg: int, minimum: bool):
+    """Tournament reduction shared by Min/Max (reference EvalMin/Max
+    SchemeSwitching, ckksrns-schemeswitching.cpp:1825-2074):
+    log2(numValues) rounds of compare + masked select.
+
+    ct must be s-periodic over the slots (the c2f LT convention). Unlike
+    the reference's cSelect + rotate(1 - cSelect) + expand-rotation chain,
+    the sign bits come back from FHEW already tiled (eval_fhew_to_ckks
+    slot_map) and the select/complement split is one position-dependent
+    plaintext affine — zero mask rotations per round. Returns
+    (extremum ct, argext indicator, both s-periodic)."""
+    from . import ckks_advanced as adv
+    assert num_values & (num_values - 1) == 0, "numValues must be a power of 2"
+    ns = ctx.params.num_slots
+    p_idx = np.arange(ns)
+    block0 = np.zeros(pre.slots)
+    block0[:num_values] = 1.0
+    ind = ckks.eval_mult_plain(ctx, _one_ct(ctx, keys),
+                               _tile_full(ctx, block0))
+    ind = ckks.rescale(ind)
+    cur = ct
+    m = 1
+    while m < num_values:
+        stride = num_values // (2 * m)
+        diff = adv.sub_auto(ctx, cur,
+                            ckks.eval_rotate(cur, stride, rot_keys[stride]))
+        lwes = eval_ckks_to_fhew(ctx, bctx, pre, keys, diff, stride, p_msg)
+        lut = _sign_q4_lut(p_msg)
+        signs = [binfhe.eval_func(bctx, bk, c, lut, p_msg) for c in lwes]
+        # tiled layout: slots p and p+stride of every 2*stride block carry
+        # the SAME pair's sign (s = +1 where first > second)
+        smap = (p_idx % (2 * stride)) % stride
+        s = eval_fhew_to_ckks(ctx, bctx, pre, keys, signs, slot_map=smap)
+        # position-dependent affine (1 -+ s)/2: keep-first mask on the
+        # first half of each pair block, its complement on the second
+        first_half = (p_idx % (2 * stride)) < stride
+        sign = np.where(first_half, -0.5, 0.5)
+        if not minimum:
+            sign = -sign
+        sel = ckks.eval_add_plain(
+            ctx, ckks.rescale(ckks.eval_mult_plain(ctx, s, sign)),
+            np.full(ns, 0.5))
+        cur = adv.mult_auto(ctx, cur, sel, evk)
+        cur = adv.add_auto(ctx, cur,
+                           ckks.eval_rotate(cur, stride, rot_keys[stride]))
+        ind = adv.mult_auto(ctx, ind, sel, evk)
+        m *= 2
+    return cur, ind
+
+
+def _one_ct(ctx, keys):
+    """An encryption of all-ones without needing a public key here:
+    keys.ct_s * 0 + 1 (a valid ciphertext whose message is 1)."""
+    zero = ckks.eval_mult_plain(ctx, keys.ct_s,
+                                np.zeros(ctx.params.num_slots))
+    zero = ckks.rescale(zero)
+    return ckks.eval_add_plain(ctx, zero, np.ones(ctx.params.num_slots))
+
+
+def eval_min_scheme_switching(ctx, bctx, pre, keys, bk, evk, rot_keys,
+                              ct: Ciphertext, num_values: int, p_msg: int):
+    """(role of EvalMinSchemeSwitching, ckksrns-schemeswitching.cpp:
+    1825-1907): returns (min ciphertext, one-hot argmin indicator)."""
+    return _eval_extremum(ctx, bctx, pre, keys, bk, evk, rot_keys, ct,
+                          num_values, p_msg, minimum=True)
+
+
+def eval_max_scheme_switching(ctx, bctx, pre, keys, bk, evk, rot_keys,
+                              ct: Ciphertext, num_values: int, p_msg: int):
+    """(role of EvalMaxSchemeSwitching, ckksrns-schemeswitching.cpp:
+    1990-2074): returns (max ciphertext, one-hot argmax indicator)."""
+    return _eval_extremum(ctx, bctx, pre, keys, bk, evk, rot_keys, ct,
+                          num_values, p_msg, minimum=False)

@@ -170,3 +170,17 @@ def test_eval_mult_povq_variants():
                         num_towers=10, mod_size=45, dnum=5)
     big_ctx = bfv.gen_context(big)
     assert bfv.find_levels_to_drop(big_ctx, 5) >= 1
+
+
+def test_compress(setup):
+    """Compress (bfvrns-leveledshe.cpp:901-934): repeated rescale to one
+    tower; decryption stays exact over the shrunk basis."""
+    ctx, pk, sk, evk = setup
+    v1, v2 = rand_slots(ctx), rand_slots(ctx)
+    ct1 = bfv.encrypt(ctx, pk, v1, RNG)
+    ct2 = bfv.encrypt(ctx, pk, v2, RNG)
+    prod = bfv.relinearize(bfv.eval_mult(ctx, ct1, ct2), evk)
+    small = bfv.compress(ctx, prod, towers_left=1)
+    assert small.basis.L == 1
+    want = [(a * b) % ctx.t for a, b in zip(v1, v2)]
+    assert bfv.decrypt(ctx, sk, small) == want

@@ -140,3 +140,14 @@ def test_eval_sum_all_slots(setup):
     out = bgv.decrypt(ctx, sk, bgv.eval_sum(ct, rk))
     want = sum(v) % ctx.t
     assert out == [want] * ctx.n
+
+
+def test_compress(setup):
+    """Compress via t-preserving ModReduce down to one tower
+    (rns-leveledshe.cpp:358-372)."""
+    ctx, pk, sk, _ = setup
+    v = rand_slots(ctx)
+    ct = bgv.encrypt(ctx, pk, v, RNG)
+    small = bgv.compress(ctx, ct, towers_left=1)
+    assert small.basis.L == 1
+    assert bgv.decrypt(ctx, sk, small) == v

@@ -135,3 +135,16 @@ def test_fast_rotation_hoisting():
         assert np.max(np.abs(fast - np.roll(v, -r))) < 1e-4
     fc = ckks.decrypt(ctx, sk, ckks.eval_fast_conjugate(ct, conj, digits))
     assert np.max(np.abs(fc - np.conj(v))) < 1e-4
+
+
+def test_compress(setup):
+    """Compress (rns-leveledshe.cpp:358-372): rescale pending degree away,
+    then drop towers; precision bounded by the remaining tower."""
+    ctx, pk, sk, evk = setup
+    v = rand_vals()
+    ct = ckks.encrypt(ctx, pk, v, RNG)
+    prod = ckks.eval_mult_relin(ct, ct, evk)   # deg-2 scale
+    small = ckks.compress(ctx, prod, towers_left=1)
+    assert small.towers == 1
+    out = ckks.decrypt(ctx, sk, small, num_slots=8)
+    assert np.max(np.abs(out - v * v)) < 1e-4

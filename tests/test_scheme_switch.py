@@ -26,7 +26,7 @@ def _mini_fhew():
 
 @pytest.fixture(scope="module")
 def setup():
-    params = ckks.CKKSParams(ring_dim=512, mult_depth=10,
+    params = ckks.CKKSParams(ring_dim=512, mult_depth=12,
                              scaling_mod_size=35, first_mod_size=50,
                              dnum=3, secret_hw=64)
     ctx = ckks.gen_context(params)
@@ -61,3 +61,55 @@ def test_fhew_to_ckks(setup):
     out = ss.eval_fhew_to_ckks(ctx, bctx, pre, keys, lwe_in)
     dec = ckks.decrypt(ctx, sk, out, num_slots=len(bits))
     assert np.max(np.abs(dec.real - np.array(bits))) < 0.12, dec.real
+
+
+def _tile(ctx, vals):
+    return np.tile(np.array(vals, dtype=float),
+                   ctx.params.num_slots // len(vals))
+
+
+@pytest.mark.skipif(os.environ.get("SKIP_SCHEME_SWITCH_TEST") == "1",
+                    reason="explicitly skipped")
+def test_compare_scheme_switching(setup):
+    """EvalCompareSchemeSwitching (ckksrns-schemeswitching.cpp:1779-1823):
+    exact comparison of CKKS values through one FHEW sign bootstrap."""
+    ctx, bctx, pre, keys, pk, sk, sk_f = setup
+    bk = binfhe.bootstrap_keygen(bctx, sk_f, RNG)
+    p_msg = 8
+    v1 = [3, 1, 2, 0, 3, 2, 1, 1]
+    v2 = [1, 3, 0, 2, 1, 3, 3, 2]
+    ct1 = ckks.encrypt(ctx, pk, _tile(ctx, v1), RNG)
+    ct2 = ckks.encrypt(ctx, pk, _tile(ctx, v2), RNG)
+    out = ss.eval_compare_scheme_switching(ctx, bctx, pre, keys, bk,
+                                           ct1, ct2, len(v1), p_msg)
+    dec = ckks.decrypt(ctx, sk, out, num_slots=len(v1)).real
+    want = [1.0 if a < b else 0.0 for a, b in zip(v1, v2)]
+    assert np.max(np.abs(dec - want)) < 0.12, dec
+
+
+@pytest.mark.skipif(os.environ.get("SKIP_SCHEME_SWITCH_TEST") == "1",
+                    reason="explicitly skipped")
+def test_min_max_scheme_switching(setup):
+    """EvalMin/MaxSchemeSwitching tournament (one round, numValues=2)."""
+    ctx, bctx, pre, keys, pk, sk, sk_f = setup
+    bk = binfhe.bootstrap_keygen(bctx, sk_f, RNG)
+    evk = keys.evk
+    p_msg = 8
+    num_values = 2
+    rot_idx = ss.extremum_rotation_indices(ctx, num_values)
+    rot_keys = ckks.rot_keygen(ctx, sk, rot_idx, RNG)
+    vals = [3, 1]
+    ct = ckks.encrypt(ctx, pk, _tile(ctx, vals + [0] * 6), RNG)
+    mn, ind = ss.eval_min_scheme_switching(ctx, bctx, pre, keys, bk, evk,
+                                           rot_keys, ct, num_values, p_msg)
+    got_min = ckks.decrypt(ctx, sk, mn, num_slots=1).real[0]
+    got_ind = ckks.decrypt(ctx, sk, ind, num_slots=2).real
+    assert abs(got_min - 1.0) < 0.15, got_min
+    assert np.max(np.abs(got_ind - [0.0, 1.0])) < 0.15, got_ind
+
+    mx, ind2 = ss.eval_max_scheme_switching(ctx, bctx, pre, keys, bk, evk,
+                                            rot_keys, ct, num_values, p_msg)
+    got_max = ckks.decrypt(ctx, sk, mx, num_slots=1).real[0]
+    got_ind2 = ckks.decrypt(ctx, sk, ind2, num_slots=2).real
+    assert abs(got_max - 3.0) < 0.15, got_max
+    assert np.max(np.abs(got_ind2 - [1.0, 0.0])) < 0.15, got_ind2
