@@ -311,8 +311,11 @@ class LWEPublicKey:
 
 def _matvec_mod(A: np.ndarray, x: np.ndarray, mod: int,
                 block: int = 128) -> np.ndarray:
-    """(A @ x) % mod with block-wise reduction so int64 never overflows
-    (|A_ij * x_j| < 2^55 for 50-bit mod and small x; 128 terms < 2^62)."""
+    """(A @ x) % mod with block-wise reduction so int64 never overflows.
+    Requires mod < 2^31 (gen_context caps Q at 30 bits): entries reduced
+    mod `mod` stay < 2^31, products < 2^55 against |x_j| < 2^24, and 128
+    such terms < 2^62 fit int64."""
+    assert int(mod).bit_length() <= 31, "matvec int64 math needs mod < 2^31"
     acc = np.zeros(A.shape[0], dtype=np.int64)
     for s in range(0, A.shape[1], block):
         acc = (acc + (A[:, s:s + block] * x[s:s + block]).sum(axis=1)) % mod

@@ -226,6 +226,8 @@ def rot_keygen(ctx: CKKSContext, sk: SecretKey, rotations: Sequence[int],
     qp = ctx.full_qp_basis
     s = sk.poly(qp)
     rotations = list(rotations)
+    if not rotations:
+        return {}
     s_rots = [dcrt.automorphism(s, rotation_indices_to_galois(ctx.n, r))
               for r in rotations]
     keys = keyswitch.keygen_batch(ctx.ks_params, s, s_rots, rng,

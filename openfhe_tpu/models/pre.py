@@ -124,7 +124,7 @@ def re_encrypt(ct, rk: keyswitch.KSKey, ctx=None, pk=None,
     c0, c1 = ct.polys
     if mode != "INDCPA":
         assert ctx is not None and pk is not None and rng is not None, \
-            "HRA modes need ctx, the target public key, and an rng"
+            "HRA modes need ctx, the SENDER's public key, and an rng"
         z0, z1 = encrypt_zero(ctx, pk, c0.basis, rng,
                               error_scale=noise_scale)
         c0, c1 = dcrt.add(c0, z0), dcrt.add(c1, z1)

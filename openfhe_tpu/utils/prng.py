@@ -140,20 +140,30 @@ class DiscreteGaussianGenerator:
     def __init__(self, sigma: float = 3.19, tail_factor: float = 12.0):
         self.sigma = float(sigma)
         self.tail = int(math.ceil(tail_factor * sigma))
+        self._cdf_cache = None
+
+    @property
+    def _cdf(self):
         # 128-bit fixed-point CDF table over [-tail, tail] (Peikert
-        # inversion; the reference uses double-precision m_vals)
-        from fractions import Fraction
-        ws = [Fraction(
-            int(round(math.exp(-(x * x) / (2 * sigma * sigma)) * 1e18)),
-            10 ** 18) for x in range(-self.tail, self.tail + 1)]
-        total = sum(ws)
-        acc = Fraction(0)
-        cdf = []
-        one = 1 << self._FRAC_BITS
-        for w in ws:
-            acc += w
-            cdf.append(min(one, int(acc / total * one)))
-        self._cdf = cdf
+        # inversion; the reference uses double-precision m_vals). Built
+        # lazily on first inversion sample: at flooding sigma (2^20) the
+        # table is ~17M Fraction entries and Karney-only users (the
+        # flooding path) must not pay for it.
+        if self._cdf_cache is None:
+            sigma = self.sigma
+            from fractions import Fraction
+            ws = [Fraction(
+                int(round(math.exp(-(x * x) / (2 * sigma * sigma)) * 1e18)),
+                10 ** 18) for x in range(-self.tail, self.tail + 1)]
+            total = sum(ws)
+            acc = Fraction(0)
+            cdf = []
+            one = 1 << self._FRAC_BITS
+            for w in ws:
+                acc += w
+                cdf.append(min(one, int(acc / total * one)))
+            self._cdf_cache = cdf
+        return self._cdf_cache
 
     def generate_inversion(self, n: int, engine: Blake2Engine
                            ) -> np.ndarray:

@@ -1,9 +1,9 @@
 """Fused Pallas four-step NTT kernel: bit-equality vs the XLA transform.
 
-Runs in Pallas interpret mode on the CPU test mesh (the Mosaic-compiled
-kernel is validated on real TPU hardware; both share the same traced
-arithmetic from ops.limb/ops.modular so interpret-mode equality plus the
-TPU bit-equality runs recorded in ops/ntt_pallas.py cover the contract).
+Runs in Pallas interpret mode on the CPU test mesh. The Mosaic-compiled
+kernel is separately validated on real TPU hardware by
+``benchmarks/pallas_ntt_bench.py``; the measured bit-equality + timing
+runs are recorded in ``NTT_PERF.md`` at the repo root.
 """
 
 import numpy as np
