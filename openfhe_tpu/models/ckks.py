@@ -49,11 +49,20 @@ class CKKSParams:
     # (ckks_advanced). FLEXIBLEAUTOEXT: FLEXIBLEAUTO + one extra tower so
     # fresh ciphertexts carry scale 2^p * q_L and the first rescale is free.
     scaling_technique: str = "FIXEDMANUAL"
+    # Composite scaling (reference: COMPOSITESCALINGAUTO/MANUAL,
+    # constants.h ScalingTechnique + NATIVE_INT=32 builds): each scaling
+    # factor 2^scaling_mod_size is realized as `composite_degree` primes of
+    # ~scaling_mod_size/d bits each, and one rescale drops d towers. With
+    # d=2 and scaling_mod_size <= 60 every tower modulus fits below 2^31,
+    # so the whole evaluation path rides the single-limb u32 NTT engine
+    # (ops/ntt32.py) — the TPU-native analog of the reference's 32-bit
+    # register word target.
+    composite_degree: int = 1
 
     @property
     def num_towers(self) -> int:
         extra = 1 if self.scaling_technique == "FLEXIBLEAUTOEXT" else 0
-        return self.mult_depth + 1 + extra
+        return (self.mult_depth + 1 + extra) * self.composite_degree
 
     @property
     def num_slots(self) -> int:
@@ -88,6 +97,47 @@ class CKKSContext:
         return RnsBasis(self.n, self.q_moduli + self.p_moduli)
 
 
+def _composite_chain(params: CKKSParams, m: int):
+    """Composite modulus chain: level k's scaling factor 2^p is the product
+    of `d` NTT primes of ~p/d bits alternating below/above their targets so
+    each level's product tracks 2^p (role of CompositeScalingParamsGen;
+    every prime stays below 2^31 for the u32 engine)."""
+    d = params.composite_degree
+
+    def split_bits(total):
+        b = total // d
+        parts = [b] * (d - 1) + [total - b * (d - 1)]
+        assert all(20 <= p <= 30 for p in parts), (
+            f"composite parts {parts} must be 20..30 bits (got "
+            f"scaling_mod_size={total}, degree={d})")
+        return parts
+
+    used: set = set()
+    cursors: dict = {}
+
+    def take_prime(bits: int, below_first: bool) -> int:
+        st = cursors.setdefault(bits, [1 << bits, 1 << bits, below_first])
+        while True:
+            if st[2]:
+                st[0] = nbtheory.prev_ntt_prime_below(st[0], m)
+                cand = st[0]
+            else:
+                st[1] = nbtheory.next_ntt_prime_above(st[1], m)
+                cand = st[1]
+            st[2] = not st[2]
+            if cand not in used:
+                used.add(cand)
+                return cand
+
+    qs = []
+    extra = 1 if params.scaling_technique == "FLEXIBLEAUTOEXT" else 0
+    for level in range(params.mult_depth + 1 + extra):
+        bits = params.first_mod_size if level == 0 else params.scaling_mod_size
+        for i, part in enumerate(split_bits(bits)):
+            qs.append(take_prime(part, below_first=(i % 2 == 0)))
+    return qs, used
+
+
 def gen_context(params: CKKSParams) -> CKKSContext:
     """Build the modulus chain (role of ParamsGenCKKSRNS +
     rns-cryptoparameters precomputation, ``pke/lib/schemerns/``).
@@ -98,31 +148,41 @@ def gen_context(params: CKKSParams) -> CKKSContext:
     n = params.ring_dim
     m = 2 * n
     L = params.num_towers
-    q0 = nbtheory.first_prime(params.first_mod_size, m)
-    used = {q0}
-    qs = [q0]
-    base = 1 << params.scaling_mod_size
-    lo_cursor = base
-    hi_cursor = base
-    below = True
-    while len(qs) < L:
-        if below:
-            lo_cursor = nbtheory.prev_ntt_prime_below(lo_cursor, m)
-            while lo_cursor in used:
+    d = params.composite_degree
+    if d > 1:
+        assert params.scaling_technique in ("FIXEDMANUAL", "FIXEDAUTO"), \
+            "composite scaling supports FIXEDMANUAL/FIXEDAUTO (as the " \
+            "reference's COMPOSITESCALING modes)"
+        qs, used = _composite_chain(params, m)
+        sp_bits = 30
+    else:
+        q0 = nbtheory.first_prime(params.first_mod_size, m)
+        used = {q0}
+        qs = [q0]
+        base = 1 << params.scaling_mod_size
+        lo_cursor = base
+        hi_cursor = base
+        below = True
+        while len(qs) < L:
+            if below:
                 lo_cursor = nbtheory.prev_ntt_prime_below(lo_cursor, m)
-            qs.append(lo_cursor)
-            used.add(lo_cursor)
-        else:
-            hi_cursor = nbtheory.next_ntt_prime_above(hi_cursor, m)
-            while hi_cursor in used:
+                while lo_cursor in used:
+                    lo_cursor = nbtheory.prev_ntt_prime_below(lo_cursor, m)
+                qs.append(lo_cursor)
+                used.add(lo_cursor)
+            else:
                 hi_cursor = nbtheory.next_ntt_prime_above(hi_cursor, m)
-            qs.append(hi_cursor)
-            used.add(hi_cursor)
-        below = not below
-    # special primes: 60-bit, scanned downward, distinct from the q chain
+                while hi_cursor in used:
+                    hi_cursor = nbtheory.next_ntt_prime_above(hi_cursor, m)
+                qs.append(hi_cursor)
+                used.add(hi_cursor)
+            below = not below
+        sp_bits = 60
+    # special primes: sized to the largest tower word (60-bit classic,
+    # 30-bit composite so they stay on the u32 path), scanned downward
     alpha = -(-L // params.dnum)
     ps = []
-    cursor = nbtheory.first_prime(60, m)
+    cursor = nbtheory.first_prime(sp_bits, m)
     while len(ps) < alpha:
         while cursor in used:
             cursor = nbtheory.previous_prime(cursor, m)
@@ -402,16 +462,27 @@ def eval_square_relin(ct: Ciphertext, evk: keyswitch.KSKey) -> Ciphertext:
     return relinearize(eval_mult(ct, ct), evk)
 
 
-def rescale(ct: Ciphertext) -> Ciphertext:
-    """Drop the last tower and divide by its modulus (FIXEDMANUAL ModReduce;
-    reference: LeveledSHECKKSRNS::ModReduceInternalInPlace ->
-    DropLastElementAndScale)."""
-    moduli = ct.basis.moduli
-    new_basis = ct.basis.drop_last()
-    fn = _rescale_fn(moduli)
-    polys = [dcrt.make_poly(new_basis, fn(p.data), Format.EVAL)
-             for p in ct.polys]
-    return Ciphertext(tuple(polys), ct.scale / moduli[-1])
+def rescale(ct: Ciphertext, degree: int = 1) -> Ciphertext:
+    """Drop the last `degree` towers, dividing by each dropped modulus
+    (FIXEDMANUAL ModReduce; reference:
+    LeveledSHECKKSRNS::ModReduceInternalInPlace ->
+    DropLastElementAndScale). Composite-scaling contexts pass
+    degree=ctx.params.composite_degree (one logical rescale = d tower
+    drops, reference COMPOSITESCALING semantics); ``rescale_ctx`` wraps
+    that."""
+    for _ in range(degree):
+        moduli = ct.basis.moduli
+        new_basis = ct.basis.drop_last()
+        fn = _rescale_fn(moduli)
+        polys = [dcrt.make_poly(new_basis, fn(p.data), Format.EVAL)
+                 for p in ct.polys]
+        ct = Ciphertext(tuple(polys), ct.scale / moduli[-1])
+    return ct
+
+
+def rescale_ctx(ctx: CKKSContext, ct: Ciphertext) -> Ciphertext:
+    """One logical rescale under the context's composite degree."""
+    return rescale(ct, ctx.params.composite_degree)
 
 
 def level_reduce(ct: Ciphertext, levels: int = 1) -> Ciphertext:
@@ -425,12 +496,15 @@ def level_reduce(ct: Ciphertext, levels: int = 1) -> Ciphertext:
     return Ciphertext(tuple(polys), ct.scale)
 
 
-def compress(ctx: CKKSContext, ct: Ciphertext, towers_left: int = 1
+def compress(ctx: CKKSContext, ct: Ciphertext, towers_left: int | None = None
              ) -> Ciphertext:
     """Shrink the ciphertext modulus before transmission/decryption
     (role of CryptoContext::Compress -> LeveledSHERNS::Compress,
     rns-leveledshe.cpp:358-372): rescale any pending noise degree away,
-    then drop towers."""
+    then drop towers. Under composite scaling the floor is d towers —
+    the first "level" q0 is itself d primes."""
+    if towers_left is None:
+        towers_left = ctx.params.composite_degree
     while ct.scale > 1.5 * ctx.scale and ct.towers > towers_left:
         ct = rescale(ct)
     if ct.towers > towers_left:

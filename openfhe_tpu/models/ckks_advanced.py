@@ -136,7 +136,7 @@ def _fixed_deg(ctx: CKKSContext, ct: Ciphertext) -> int:
 
 
 def _fixed_rescale(ctx: CKKSContext, ct: Ciphertext) -> Ciphertext:
-    r = ckks.rescale(ct)
+    r = ckks.rescale_ctx(ctx, ct)
     return Ciphertext(r.polys, float(ctx.scale))   # snap to nominal 2^p
 
 

@@ -207,3 +207,41 @@ def mod_exp(a: U64, e: U64, m: ModConsts) -> U64:
     one = from_int(1, jnp.shape(a.lo))
     result, _ = jax.lax.fori_loop(0, 64, body, (one, a))
     return result
+
+
+# ---------------------------------------------------------------------------
+# Single-limb u32 fast path for moduli q < 2^31 (2q fits a uint32 lane).
+# The NTT engine dispatches here when every tower modulus is below 2^31 —
+# one native 32-bit multiply replaces each pair of 16-bit half-product
+# trees, cutting a Shoup modmul from ~28 to 6 hardware multiplies. Values
+# are plain uint32 arrays (the `lo` plane of the corresponding U64s).
+# ---------------------------------------------------------------------------
+
+
+def shoup_precon32_int(c: int, q: int) -> int:
+    """Host: floor(c * 2^32 / q) for c < q < 2^31 (fits uint32)."""
+    assert 0 <= c < q < (1 << 31)
+    return (c << 32) // q
+
+
+def add_mod32(a, b, q):
+    """(a + b) mod q for a, b < q < 2^31 (sum fits u32)."""
+    s = a + b
+    return jnp.where(s >= q, s - q, s)
+
+
+def sub_mod32(a, b, q):
+    """(a - b) mod q for a, b < q (wraparound + correction)."""
+    d = a - b
+    return jnp.where(a >= b, d, d + q)
+
+
+def mul_mod_shoup32(x, c, c_precon, q):
+    """(x * c) mod q for constant c < q < 2^31 with 32-bit Shoup precon
+    c_precon = floor(c*2^32/q); requires x < q. r = x*c - floor(x*c'/2^32)*q
+    lands in [0, 2q) (classic Shoup bound for x < q); one conditional
+    subtract finishes. All multiplies are native u32 (low halves wrap
+    consistently mod 2^32)."""
+    h = mul32x32(x, c_precon).hi
+    r = x * c - h * q
+    return jnp.where(r >= q, r - q, r)

@@ -128,23 +128,141 @@ def _slice_tw(table: U64, lo_idx: int, hi_idx: int) -> U64:
 
 
 # Above this ring dimension the single-chip transform runs as a four-step
-# (n1 x n2 blocked) NTT: every stage keeps the lane (minor) dimension at
-# n2 >= 128, avoiding the tail stages of the flat pipeline whose lane dim
-# shrinks to 1 and forces pathological relayouts. Measured on TPU v5e at
-# [8, 2^16]: 166 us vs 1090 us per call (6.6x). Both paths are bit-exact
-# and share the same slot-order contract (parallel/dntt.py docstring).
+# (n1 x n2 blocked) NTT: every butterfly stage runs on the second-to-last
+# axis with the lane (minor) dimension pinned at n2/n1 >= 128, avoiding the
+# tail stages of the flat pipeline whose lane dim shrinks to 1 and forces
+# pathological relayouts. Forward and inverse are schedule-symmetric
+# (2 axis swaps + 2 stage pipelines + 1 elementwise twist each). Bit-exact
+# with the flat path and the distributed dntt path (same slot-order
+# contract, parallel/dntt.py docstring); measurements in NTT_PERF.md.
 FOUR_STEP_MIN_N = 8192
+
+
+@lru_cache(maxsize=None)
+def _blocked_tables(n1: int, n2: int, moduli: tuple):
+    """Stage plans + twist tables packed [L, n1, n2] for the single-chip
+    blocked four-step (twist values shared with parallel/dntt.py)."""
+    from ..parallel import dntt
+
+    plan1 = make_plan(n1, moduli)
+    plan2 = make_plan(n2, moduli)
+    tw, twp, itw, itwp = dntt.twist_values(n1, n2, moduli)
+
+    def pack(vals):  # exact ints [L][n1][n2] -> U64 [L, n1, n2]
+        from .limb import from_int_array
+        return from_int_array(np.asarray(vals, dtype=object))
+
+    return plan1, plan2, pack(tw), pack(twp), pack(itw), pack(itwp)
+
+
+def _stages_axis2(plan: NTTPlan, x: U64, fwd: bool) -> U64:
+    """All butterfly stages of the size-R transform over axis -2 of
+    [..., L, R, C]; the lane axis C rides along untouched. Twiddle tables
+    broadcast as [L, m, 1, 1] against [..., L, m, t, C]."""
+    R = plan.n
+    lo, hi = x.lo, x.hi
+    lead = lo.shape[:-2]            # (..., L)
+    C = lo.shape[-1]
+    qb = U64(plan.mod.q.lo[..., None, None], plan.mod.q.hi[..., None, None])
+
+    def tw4(table, a, b):
+        return U64(table.lo[:, a:b, None, None], table.hi[:, a:b, None, None])
+
+    if fwd:
+        m = 1
+        while m < R:
+            t = R // (2 * m)
+            xl = lo.reshape(lead + (m, 2, t, C))
+            xh = hi.reshape(lead + (m, 2, t, C))
+            u = U64(xl[..., 0, :, :], xh[..., 0, :, :])
+            v = U64(xl[..., 1, :, :], xh[..., 1, :, :])
+            w = tw4(plan.psi_br, m, 2 * m)
+            wp = tw4(plan.psi_br_pre, m, 2 * m)
+            vw = mul_mod_shoup(v, w, wp, qb)
+            top = add_mod(u, vw, qb)
+            bot = sub_mod(u, vw, qb)
+            lo = jnp.stack([top.lo, bot.lo], axis=-3).reshape(lead + (R, C))
+            hi = jnp.stack([top.hi, bot.hi], axis=-3).reshape(lead + (R, C))
+            m *= 2
+        return U64(lo, hi)
+    t = 1
+    m = R
+    while m > 1:
+        h = m // 2
+        xl = lo.reshape(lead + (h, 2, t, C))
+        xh = hi.reshape(lead + (h, 2, t, C))
+        u = U64(xl[..., 0, :, :], xh[..., 0, :, :])
+        v = U64(xl[..., 1, :, :], xh[..., 1, :, :])
+        top = add_mod(u, v, qb)
+        diff = sub_mod(u, v, qb)
+        w = tw4(plan.psi_inv_br, h, 2 * h)
+        wp = tw4(plan.psi_inv_br_pre, h, 2 * h)
+        bot = mul_mod_shoup(diff, w, wp, qb)
+        lo = jnp.stack([top.lo, bot.lo], axis=-3).reshape(lead + (R, C))
+        hi = jnp.stack([top.hi, bot.hi], axis=-3).reshape(lead + (R, C))
+        t *= 2
+        m = h
+    ninv = U64(plan.n_inv.lo[..., None], plan.n_inv.hi[..., None])
+    ninv_p = U64(plan.n_inv_pre.lo[..., None], plan.n_inv_pre.hi[..., None])
+    q3 = U64(plan.mod.q.lo[..., None], plan.mod.q.hi[..., None])
+    return mul_mod_shoup(U64(lo, hi), ninv, ninv_p, q3)
+
+
+def _swap_minor(x: U64) -> U64:
+    return U64(jnp.swapaxes(x.lo, -1, -2), jnp.swapaxes(x.hi, -1, -2))
+
+
+def blocked_forward(plan: NTTPlan, a: U64) -> U64:
+    """Single-chip four-step forward: [..., L, n] natural order ->
+    ntt.forward slot order, bit-exact, lane dim >= 128 in every stage."""
+    from ..parallel import dntt
+
+    n1, n2 = dntt.split_factors(plan.n)
+    plan1, plan2, tw, twp, _, _ = _blocked_tables(n1, n2, plan.moduli)
+    lead = a.lo.shape[:-1]
+    x = U64(a.lo.reshape(lead + (n1, n2)), a.hi.reshape(lead + (n1, n2)))
+    x = _stages_axis2(plan1, x, True)              # columns: j1 -> c1
+    x = mul_mod_shoup(x, tw, twp,
+                      U64(plan.mod.q.lo[..., None], plan.mod.q.hi[..., None]))
+    x = _swap_minor(x)                             # [..., L, j2, c1]
+    x = _stages_axis2(plan2, x, True)              # rows: j2 -> c2
+    x = _swap_minor(x)                             # [..., L, c1, c2]
+    return U64(x.lo.reshape(lead + (plan.n,)), x.hi.reshape(lead + (plan.n,)))
+
+
+def blocked_inverse(plan: NTTPlan, a: U64) -> U64:
+    """Exact inverse of blocked_forward (== ntt.inverse bit-exactly)."""
+    from ..parallel import dntt
+
+    n1, n2 = dntt.split_factors(plan.n)
+    plan1, plan2, _, _, itw, itwp = _blocked_tables(n1, n2, plan.moduli)
+    lead = a.lo.shape[:-1]
+    x = U64(a.lo.reshape(lead + (n1, n2)), a.hi.reshape(lead + (n1, n2)))
+    x = _swap_minor(x)                             # [..., L, c2, c1]
+    x = _stages_axis2(plan2, x, False)             # rows back: c2 -> j2
+    x = _swap_minor(x)                             # [..., L, c1, j2]
+    x = mul_mod_shoup(x, itw, itwp,
+                      U64(plan.mod.q.lo[..., None], plan.mod.q.hi[..., None]))
+    x = _stages_axis2(plan1, x, False)             # columns back: c1 -> j1
+    return U64(x.lo.reshape(lead + (plan.n,)), x.hi.reshape(lead + (plan.n,)))
 
 
 def forward(plan: NTTPlan, a: U64) -> U64:
     """Batched forward negacyclic NTT: a is U64 with arrays [..., L, n] in
     natural coefficient order; output in bit-reversed evaluation order.
-    """
-    if plan.n >= FOUR_STEP_MIN_N and a.lo.ndim >= 2:
-        from ..parallel import dntt
 
-        n1, n2 = dntt.split_factors(plan.n)
-        return dntt.four_step_forward(a, n1, n2, plan.moduli)
+    Inputs must be reduced (< q, the module contract); when every modulus
+    is below 2^31 the hi limb plane is therefore zero and the transform
+    runs on the single-limb u32 engine (ops/ntt32.py), returning a zero
+    hi plane that XLA's algebraic simplifier folds out of downstream
+    arithmetic."""
+    if max(plan.moduli) < (1 << 31):
+        from . import ntt32
+
+        out = ntt32.forward(ntt32.make_plan32(plan.n, plan.moduli), a.lo)
+        return U64(out, jnp.zeros_like(out))
+    if plan.n >= FOUR_STEP_MIN_N and a.lo.ndim >= 2:
+        return blocked_forward(plan, a)
     n = plan.n
     q = plan.mod.q
     lo, hi = a.lo, a.hi
@@ -171,11 +289,13 @@ def inverse(plan: NTTPlan, a: U64) -> U64:
     """Batched inverse: bit-reversed evaluation order -> natural coefficients,
     including the 1/n scaling (folded in as a final Shoup multiply).
     """
-    if plan.n >= FOUR_STEP_MIN_N and a.lo.ndim >= 2:
-        from ..parallel import dntt
+    if max(plan.moduli) < (1 << 31):
+        from . import ntt32
 
-        n1, n2 = dntt.split_factors(plan.n)
-        return dntt.four_step_inverse(a, n1, n2, plan.moduli)
+        out = ntt32.inverse(ntt32.make_plan32(plan.n, plan.moduli), a.lo)
+        return U64(out, jnp.zeros_like(out))
+    if plan.n >= FOUR_STEP_MIN_N and a.lo.ndim >= 2:
+        return blocked_inverse(plan, a)
     n = plan.n
     q = plan.mod.q
     lo, hi = a.lo, a.hi

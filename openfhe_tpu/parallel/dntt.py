@@ -49,32 +49,36 @@ def split_factors(n: int) -> tuple:
 
 
 @lru_cache(maxsize=None)
-def _four_step_tables(n1: int, n2: int, moduli: tuple):
-    """Size-n1/n2 plans + twist constants (and inverses), laid out
-    [n2, L, n1] to match the step-1/2 pipeline blocking."""
+def twist_values(n1: int, n2: int, moduli: tuple):
+    """Exact twist constants for the four-step factorization, as nested int
+    lists laid out [L][n1][n2] (row c1, column j2):
+
+        T[c1][j2] = psi^(e1(c1)*j2) * psi2^(-j2),   psi2 = psi^n1,
+
+    with e1(c1) = 2*rev_n1(c1) + 1 (the order contract of the size-n1
+    stage NTT, exponents of psi1 = psi^n2). Returns (twist, twist_precon,
+    inv_twist, inv_twist_precon); shared by the distributed path here and
+    the single-chip blocked path in ops/ntt.py."""
     n = n1 * n2
-    plan1 = ntt.make_plan(n1, moduli)
-    plan2 = ntt.make_plan(n2, moduli)
     rev1 = ntt.bit_reverse_perm(n1)
     twists, pres = [], []
     inv_twists, inv_pres = [], []
     for q in moduli:
         psi = nbtheory.root_of_unity(2 * n, q)
-        # e1(c1) = 2*rev_n1(c1) + 1  (order contract of the size-n1 NTT,
-        # exponents of psi1 = psi^n2)
         rows, prow, irows, iprow = [], [], [], []
         for c1 in range(n1):
             e1 = 2 * int(rev1[c1]) + 1
             base, pbase, ibase, ipbase = [], [], [], []
+            step = pow(psi, (e1 - n1) % (2 * n), q)
+            istep = pow(step, -1, q)
+            v, vi = 1, 1
             for j2 in range(n2):
-                # psi^(e1*j2) * psi2^(-j2), psi2 = psi^n1
-                expo = (e1 * j2 - n1 * j2) % (2 * n)
-                v = pow(psi, expo, q)
-                vi = pow(v, -1, q)
                 base.append(v)
                 pbase.append(shoup_precon_int(v, q))
                 ibase.append(vi)
                 ipbase.append(shoup_precon_int(vi, q))
+                v = v * step % q
+                vi = vi * istep % q
             rows.append(base)
             prow.append(pbase)
             irows.append(ibase)
@@ -83,6 +87,16 @@ def _four_step_tables(n1: int, n2: int, moduli: tuple):
         pres.append(prow)
         inv_twists.append(irows)
         inv_pres.append(iprow)
+    return twists, pres, inv_twists, inv_pres
+
+
+@lru_cache(maxsize=None)
+def _four_step_tables(n1: int, n2: int, moduli: tuple):
+    """Size-n1/n2 plans + twist constants (and inverses), laid out
+    [n2, L, n1] to match the step-1/2 pipeline blocking."""
+    plan1 = ntt.make_plan(n1, moduli)
+    plan2 = ntt.make_plan(n2, moduli)
+    twists, pres, inv_twists, inv_pres = twist_values(n1, n2, moduli)
 
     def pack(vals):  # [L, n1, n2] -> [n2, L, n1]
         t = from_int_array(np.asarray(vals, dtype=object))
