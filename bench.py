@@ -117,15 +117,42 @@ def main():
     ntt_us = marginal_us("ntt", ntt_loop, lambda o: o.lo[0, 0])
     intt_us = marginal_us("intt", intt_loop, lambda o: o.lo[0, 0])
 
+    # u32 single-limb engine (ops/ntt32.py): the production path once CKKS
+    # composite scaling keeps every modulus below 2^31. Two ~30-bit towers
+    # carry the same modulus bits as one 60-bit tower, so the 60-bit-
+    # equivalent throughput of this path is rate32 / 2.
+    ntt32_us = intt32_us = None
+    if os.environ.get("BENCH_SKIP_U32") != "1":
+        moduli32 = nbtheory.generate_prime_chain(towers, 30, n)
+        plan32 = ntt.make_plan(n, tuple(moduli32))
+        a32 = limb.U64(a.lo, jax.device_put(np.zeros_like(lo)))
+
+        def ntt32_loop(k):
+            f = jax.jit(lambda x: jax.lax.fori_loop(
+                0, k, lambda i, v: ntt.forward(plan32, v), x))
+            return lambda: f(a32)
+
+        def intt32_loop(k):
+            f = jax.jit(lambda x: jax.lax.fori_loop(
+                0, k, lambda i, v: ntt.inverse(plan32, v), x))
+            return lambda: f(a32)
+
+        ntt32_us = marginal_us("ntt32", ntt32_loop, lambda o: o.lo[0, 0])
+        intt32_us = marginal_us("intt32", intt32_loop, lambda o: o.lo[0, 0])
+
     per_tower_us = ntt_us / towers
     ntt_ops_per_s = 1e6 / per_tower_us
     # minimal-traffic roofline for the four-step schedule: ~4 HBM passes
     # (read+write around each of the two local-NTT phases) x 8 B/elem
     min_bytes = 4 * 8.0 * towers * n
     hbm_gbps = min_bytes / (ntt_us * 1e-6) / 1e9
-    log(f"NTT [{towers},{n}]: {ntt_us:.0f} us fwd / {intt_us:.0f} us inv, "
+    log(f"NTT [{towers},{n}] u64: {ntt_us:.0f} us fwd / {intt_us:.0f} us inv, "
         f"{per_tower_us:.1f} us/tower-NTT, {ntt_ops_per_s:.0f} tower-NTT/s, "
         f"~{hbm_gbps:.0f} GB/s min-traffic")
+    if ntt32_us is not None:
+        log(f"NTT [{towers},{n}] u32(30-bit): {ntt32_us:.0f} us fwd / "
+            f"{intt32_us:.0f} us inv "
+            f"(60-bit-equiv {2 * ntt32_us / towers:.1f} us/tower)")
 
     extra = {}
     if os.environ.get("BENCH_SKIP_MULT") != "1":
@@ -179,13 +206,28 @@ def main():
             "ckks_rotate_us": round(rot_us, 1),
         }
 
+    # Primary metric: 60-bit-equivalent tower-NTT throughput from the best
+    # production path — the u64 four-step on a 60-bit chain, or the u32
+    # single-limb engine on a 30-bit chain at half credit (composite
+    # scaling: two 30-bit towers == one 60-bit tower of modulus bits).
+    best_rate = ntt_ops_per_s
+    best_path = "u64"
+    if ntt32_us is not None:
+        rate32_equiv = 1e6 / (2 * ntt32_us / towers)
+        if rate32_equiv > best_rate:
+            best_rate = rate32_equiv
+            best_path = "u32-composite"
     result = {
         "metric": f"ntt_2^{ring_log}_{towers}tower_throughput_per_chip",
-        "value": round(ntt_ops_per_s, 1),
-        "unit": "tower-NTT/s",
-        "vs_baseline": round(ntt_ops_per_s / (1e6 / BASELINE_NTT_65536_US), 2),
+        "value": round(best_rate, 1),
+        "unit": "tower-NTT/s (60-bit-equivalent)",
+        "vs_baseline": round(best_rate / (1e6 / BASELINE_NTT_65536_US), 2),
+        "path": best_path,
+        "ntt64_us": round(ntt_us, 1),
         "intt_us": round(intt_us, 1),
         "hbm_gbps": round(hbm_gbps, 1),
+        **({"ntt32_us": round(ntt32_us, 1), "intt32_us": round(intt32_us, 1)}
+           if ntt32_us is not None else {}),
         **extra,
     }
     print(json.dumps(result), flush=True)

@@ -249,13 +249,19 @@ class BinFHEContext:
 def gen_context(name_or_params="STD128") -> BinFHEContext:
     p = PARAM_SETS[name_or_params]() if isinstance(name_or_params, str) \
         else name_or_params
-    if p.Q.bit_length() > 30:
-        # The gadget decompose kernels center-lift residues in int32 lanes;
-        # Q >= 2^31 sets (STD192*, STD128Q_3/4) need a two-limb decompose
-        # that is not built yet.
+    if p.Q.bit_length() > 59:
+        # The general mul_mod path carries 60-bit moduli; the two-limb
+        # signed gadget decompose shifts 64-bit two's-complement limbs.
         raise ValueError(
             f"accumulator modulus Q ({p.Q.bit_length()} bits) exceeds the "
-            "30-bit limit of the int32 gadget-decompose kernels")
+            "59-bit limit of the limb kernels")
+    if p.Q.bit_length() > 30 and p.method != "GINX":
+        # The AP slab gather and the LMKCDEY automorphism keyswitch still
+        # center-lift in int32; every reference AP/LMKCDEY set fits. The
+        # Q >= 2^31 production sets (STD192*, STD128Q_3/4) are all GINX.
+        raise ValueError(
+            f"method {p.method} supports Q < 2^31 only (use GINX for "
+            f"{p.Q.bit_length()}-bit Q)")
     if (2 * p.N) % p.q != 0:
         raise ValueError("gate modulus q must divide 2N")
     return BinFHEContext(p)
@@ -311,11 +317,13 @@ class LWEPublicKey:
 
 def _matvec_mod(A: np.ndarray, x: np.ndarray, mod: int,
                 block: int = 128) -> np.ndarray:
-    """(A @ x) % mod with block-wise reduction so int64 never overflows.
-    Requires mod < 2^31 (gen_context caps Q at 30 bits): entries reduced
-    mod `mod` stay < 2^31, products < 2^55 against |x_j| < 2^24, and 128
-    such terms < 2^62 fit int64."""
-    assert int(mod).bit_length() <= 31, "matvec int64 math needs mod < 2^31"
+    """(A @ x) % mod with block-wise reduction so int64 never overflows:
+    entries reduced mod `mod` stay < 2^31, products < 2^55 against
+    |x_j| < 2^24, and 128 such terms < 2^62 fit int64. Moduli at or above
+    2^31 (the STD192*/STD128Q_* accumulator primes) fall back to exact
+    Python-int math."""
+    if int(mod).bit_length() > 31:
+        return ((A.astype(object) @ x.astype(object)) % mod).astype(np.int64)
     acc = np.zeros(A.shape[0], dtype=np.int64)
     for s in range(0, A.shape[1], block):
         acc = (acc + (A[:, s:s + block] * x[s:s + block]).sum(axis=1)) % mod
@@ -564,9 +572,13 @@ def _monomial_eval_np(ctx: BinFHEContext) -> np.ndarray:
     psi = nbtheory.root_of_unity(2 * N, Q)
     rev = ntt_ops.bit_reverse_perm(N)
     exps = ((2 * rev + 1) % (2 * N)).astype(np.int64)
-    pw = np.ones(2 * N, dtype=np.int64)
-    for i in range(1, 2 * N):
-        pw[i] = pw[i - 1] * psi % Q
+    # psi powers with exact Python ints (pw * psi overflows int64 once
+    # Q crosses 2^31; values themselves stay < Q < 2^63)
+    acc = 1
+    pw = np.empty(2 * N, dtype=np.int64)
+    for i in range(2 * N):
+        pw[i] = acc
+        acc = acc * psi % Q
     idx = (np.arange(2 * N, dtype=np.int64)[:, None] * exps[None, :]) % (2 * N)
     return pw[idx]
 
@@ -583,13 +595,15 @@ def _monomial_table(ctx: BinFHEContext) -> U64:
 def _make_signed_decompose(p: BinFHEParams):
     """[B, 2, N] coeff -> [B, 2*dg, N] signed gadget digits as residues
     mod Q (shared by the CGGI and DM external products; reference:
-    ``rgsw-acc.h:86-98`` SignedDigitDecompose)."""
+    ``rgsw-acc.h:86-98`` SignedDigitDecompose). Q < 2^31 runs in int32
+    lanes; wider Q (STD192*, STD128Q_3/4 go up to 50 bits) runs the same
+    recurrence on two's-complement uint32 limb pairs."""
     N, Q, dg, logB = p.N, p.Q, p.dg, p.log_bg
     half_Q = Q // 2
     B = 1 << logB
     halfB = B // 2
 
-    def signed_decompose(acc_coeff: U64):
+    def signed_decompose32(acc_coeff: U64):
         v = acc_coeff.lo
         # centered lift in int32 (Q < 2^31)
         signed = jnp.where(v > jnp.uint32(half_Q),
@@ -605,7 +619,39 @@ def _make_signed_decompose(p: BinFHEParams):
         lo = jnp.where(d < 0, (d + Q).astype(jnp.uint32), d.astype(jnp.uint32))
         return U64(lo, jnp.zeros_like(lo))
 
-    return signed_decompose
+    def signed_decompose_wide(acc_coeff: U64):
+        from ..ops import limb
+        # centered lift: v - Q mod 2^64 IS the two's-complement encoding
+        q64 = limb.from_int(Q)
+        big = limb.geq64(acc_coeff, limb.from_int(half_Q + 1))
+        val = limb.select64(big, limb.sub64(acc_coeff, q64), acc_coeff)
+        lo, hi = val.lo, val.hi
+        digits = []
+        for _ in range(dg):
+            # digit depends only on the low limb (B divides 2^32)
+            r = (((lo.astype(jnp.int32) + halfB) & (B - 1)) - halfB)
+            # val = (val - r) >> logB, arithmetic on the limb pair
+            r_lo = r.astype(jnp.uint32)
+            r_hi = (r >> 31).astype(jnp.uint32)        # sign extension
+            v2 = limb.sub64(U64(lo, hi), U64(r_lo, r_hi))
+            lo = (v2.lo >> logB) | (v2.hi << (32 - logB))
+            hi = (v2.hi.astype(jnp.int32) >> logB).astype(jnp.uint32)
+            digits.append(r)
+        d = jnp.stack(digits, axis=2)                  # [B, 2, dg, N] int32
+        d = d.reshape(d.shape[0], 2 * dg, N)
+        # residue mod Q: r >= 0 -> (r, 0); r < 0 -> Q - |r| in limbs
+        mag = jnp.where(d < 0, -d, d).astype(jnp.uint32)
+        q_lo = np.uint32(Q & 0xFFFFFFFF)
+        q_hi = np.uint32(Q >> 32)
+        borrow = (q_lo < mag).astype(jnp.uint32)
+        neg_lo = q_lo - mag
+        neg_hi = q_hi - borrow
+        lo_out = jnp.where(d < 0, neg_lo, mag)
+        hi_out = jnp.where(d < 0, neg_hi, jnp.uint32(0))
+        return U64(lo_out, hi_out)
+
+    return signed_decompose32 if Q.bit_length() <= 30 else \
+        signed_decompose_wide
 
 
 @lru_cache(maxsize=None)
@@ -858,6 +904,71 @@ def eval_not(ctx: BinFHEContext, ct: LWECiphertext) -> LWECiphertext:
     return LWECiphertext((-ct.a) % q, (q // 4 - ct.b) % q, q)
 
 
+# Multi-input gates (reference: the ciphertext-vector EvalBinGate overload,
+# ``binfhe-base-scheme.cpp:126-177``, gate constants
+# ``rgsw-cryptoparameters.cpp:77-89``): arity, input plaintext modulus p
+# (bits are encrypted at q/p — p=4 for MAJORITY like the 2-input gates,
+# p=6 for 3-input AND3/OR3, p=8 for 4-input AND4/OR4; use encrypt_zp),
+# and the additive phase offset cnum*q/cden aligning the TRUE sums with
+# the test vector's (0, q/2] half. Unlike the reference (whose output
+# keeps the input's q/p scale), the output here is normalized to the
+# standard q/4 bit encoding, so multi-input outputs chain directly into
+# 2-input gates.
+MULTI_GATES = {
+    "MAJORITY": (3, 4, -3, 8),
+    "AND3": (3, 6, -5, 12),
+    "OR3": (3, 6, -1, 12),
+    "AND4": (4, 8, -7, 16),
+    "OR4": (4, 8, -1, 16),
+}
+
+
+def eval_gate_vec(ctx: BinFHEContext, gate: str, bk: BootstrapKey,
+                  cts: list) -> LWECiphertext:
+    """Multi-input gate over a ciphertext vector (role of the reference's
+    EvalBinGate(..., std::vector<LWECiphertext>) overload)."""
+    return eval_gate_vec_batch(ctx, gate, bk, [cts])[0]
+
+
+def eval_gate_vec_batch(ctx: BinFHEContext, gate: str, bk: BootstrapKey,
+                        batches: list) -> list:
+    """Batched multi-input gates: one blind-rotation scan for the whole
+    batch. ``batches`` is a list of ciphertext lists, all the same gate."""
+    if gate == "CMUX":
+        return [eval_cmux(ctx, bk, *cts) for cts in batches]
+    arity, _p, cnum, cden = MULTI_GATES[gate]
+    q = ctx.params.q
+    a_rows, b_rows = [], []
+    for cts in batches:
+        if len(cts) != arity:
+            raise ValueError(f"{gate} takes exactly {arity} inputs")
+        for i in range(len(cts)):
+            for j in range(i + 1, len(cts)):
+                if cts[i] is cts[j]:
+                    raise ValueError(
+                        "input ciphertexts must be independent "
+                        "(reference: EvalBinGate config_error)")
+        a = np.zeros_like(cts[0].a)
+        b = 0
+        for ct in cts:
+            a = (a + ct.a) % q
+            b = (b + ct.b) % q
+        a_rows.append(a)
+        b_rows.append((b + cnum * q // cden) % q)
+    return bootstrap_raw_batch(ctx, bk, np.stack(a_rows),
+                               np.asarray(b_rows))
+
+
+def eval_cmux(ctx: BinFHEContext, bk: BootstrapKey, ct0: LWECiphertext,
+              ct1: LWECiphertext, sel: LWECiphertext) -> LWECiphertext:
+    """CMUX(d0, d1, sel) = d1 if sel else d0, via three NANDs (reference:
+    binfhe-base-scheme.cpp:169-176): NAND(NAND(d0, NOT sel), NAND(d1, sel)).
+    Inputs use the standard q/4 bit encoding."""
+    not_sel = eval_not(ctx, sel)
+    n1, n2 = eval_gate_batch(ctx, "NAND", bk, [ct0, ct1], [not_sel, sel])
+    return eval_gate(ctx, "NAND", bk, n1, n2)
+
+
 def bootstrap(ctx: BinFHEContext, bk: BootstrapKey,
               ct: LWECiphertext) -> LWECiphertext:
     """Refresh a (possibly noisy) ciphertext (reference: Bootstrap)."""
@@ -1103,8 +1214,16 @@ def _extract_and_keyswitch_offset(ctx, bk, acc_coeff, offset: int,
     batch = c0.shape[0]
     b_N = (c0[:, 0] + offset) % Q
     a_N = np.concatenate([c1[:, :1], (-c1[:, :0:-1]) % Q], axis=1)
+    if Q.bit_length() + q_ks.bit_length() + 1 > 62:
+        # value * 2 * q_ks would overflow int64 (Q up to 50 bits in the
+        # STD192*/STD128Q_* sets); round in exact Python ints instead
+        b_N = b_N.astype(object)
+        a_N = a_N.astype(object)
     b1 = (b_N * q_ks * 2 + Q) // (2 * Q) % q_ks
     a1 = ((a_N * q_ks * 2 + Q) // (2 * Q)) % q_ks
+    if a1.dtype == object:
+        b1 = b1.astype(np.int64)
+        a1 = a1.astype(np.int64)
     a_out, b_out = _lwe_keyswitch_batch(ctx, bk.ks_a, bk.ks_b, a1, b1)
     b2 = (b_out * q * 2 + q_ks) // (2 * q_ks) % q
     a2 = ((a_out * q * 2 + q_ks) // (2 * q_ks)) % q

@@ -45,9 +45,12 @@ def test_reference_table_ntt_primes():
         assert (2 * p.N) % p.q == 0, name
 
 
-def test_wide_q_sets_rejected():
-    with pytest.raises(ValueError, match="30-bit"):
-        binfhe.gen_context("STD192")
+def test_all_named_sets_constructible():
+    """All 24 reference named sets build a context (the Q >= 2^31 sets —
+    STD192*, STD128Q_3/4 — ride the two-limb gadget decompose)."""
+    for name in binfhe._REF_TABLE:
+        ctx = binfhe.gen_context(name)
+        assert ctx.params.Q == binfhe.reference_params(name).Q, name
 
 
 def test_gate_reference_toy():
