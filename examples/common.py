@@ -14,6 +14,8 @@ import jax  # noqa: E402
 
 if os.environ.get("EXAMPLES_ON_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
-os.makedirs("/tmp/openfhe_tpu_xla_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/openfhe_tpu_xla_cache")
+cache = "/tmp/openfhe_tpu_xla_cache" if os.environ.get("EXAMPLES_ON_TPU") == "1" \
+    else "/tmp/openfhe_tpu_xla_cache_cpu"
+os.makedirs(cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

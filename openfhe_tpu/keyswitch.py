@@ -251,11 +251,12 @@ def add_keys_full(k1: KSKey, k2: KSKey) -> KSKey:
 
 
 def scale_key_by_share(key: KSKey, s_share: RnsPoly,
-                       rng: np.random.Generator, sigma: float = 3.19
-                       ) -> KSKey:
+                       rng: np.random.Generator, sigma: float = 3.19,
+                       error_scale: int = 1) -> KSKey:
     """(s_i * b_j + e0, s_i * a_j + e1) per digit — one party's
     contribution to the joint relinearization key
-    (reference: MultiMultEvalKey)."""
+    (reference: MultiMultEvalKey). error_scale multiplies the noise
+    (t for BGV, matching keygen)."""
     params = key.params
     basis = full_basis(params)
     assert s_share.basis == basis and s_share.fmt == Format.EVAL
@@ -264,7 +265,7 @@ def scale_key_by_share(key: KSKey, s_share: RnsPoly,
 
     def noisy(x: U64) -> U64:
         rows = np.stack([sampling.signed_to_rns_rows(
-            sampling.gaussian_coeffs(n, rng, sigma), moduli)
+            sampling.gaussian_coeffs(n, rng, sigma) * error_scale, moduli)
             for _ in range(params.dnum)])
         e = ntt_ops.forward(basis.plan, from_int_array(rows))
         return add_mod(mul_mod(x, s_share.data, basis.mod), e, basis.mod.q)

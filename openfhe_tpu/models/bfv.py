@@ -320,10 +320,17 @@ def _mult_pipeline(ctx: BFVContext):
         return ntt_ops.forward(s_basis.plan, U64(lo, hi))
 
     def scale_back(y_eval: U64) -> U64:
-        """EVAL over S -> EVAL over Q: round(t*Y/Q) via R, exact switch."""
+        """EVAL over S -> EVAL over Q: round(t*Y/Q) via R, exact switch.
+
+        The tensor Y is a negacyclic convolution, so round(t*Y/Q) is a
+        SIGNED value of magnitude ~ t*n*(k/2+1)^2*Q << R/2: the R -> Q
+        switch must center (round the overflow count), or every negative
+        coefficient picks up a spurious +R mod Q — a noise term that
+        scales with ||s||_1 and overflows Delta/2 for joint (multiparty)
+        secrets."""
         y_coeff = ntt_ops.inverse(s_basis.plan, y_eval)
         y_r = rns.scale_and_round(y_coeff, sm, rm, t, qm)
-        y_q = rns.exact_switch_basis(y_r, rm, qm)
+        y_q = rns.exact_switch_basis(y_r, rm, qm, centered=True)
         return ntt_ops.forward(q_basis.plan, y_q)
 
     from ..ops.modular import add_mod, mul_mod

@@ -58,6 +58,30 @@ class CKKSParams:
     # (ops/ntt32.py) — the TPU-native analog of the reference's 32-bit
     # register word target.
     composite_degree: int = 1
+    # INDCPA^D noise-flooding decryption (reference: DecryptionNoiseMode
+    # NOISE_FLOODING_DECRYPT + ExecutionMode, ``constants.h:93-101``;
+    # sigma derivation ``gen-cryptocontext-ckksrns-internal.h:70-92``;
+    # flooding added at decrypt ``ckksrns-pke.cpp:49-54``). The protocol is
+    # two-phase: run once with execution_mode="NOISE_ESTIMATION", measure
+    # the output's log-error with estimate_log_error(), then rebuild the
+    # context with execution_mode="EVALUATION" and that noise_estimate —
+    # decryption then floods with sigma = 2^(statSec/2 +
+    # log2(sqrt(12*numQueries)) + noise_estimate).
+    decryption_noise_mode: str = "FIXED_NOISE_DECRYPT"
+    execution_mode: str = "EVALUATION"  # or "NOISE_ESTIMATION"
+    noise_estimate: float = 0.0         # log2 units, from phase 1
+    statistical_security: float = 30.0
+    num_adversarial_queries: float = 1.0
+
+    @property
+    def flood_decrypt_sigma(self) -> float:
+        """Decryption flooding stddev; 0 when flooding is off."""
+        if (self.decryption_noise_mode != "NOISE_FLOODING_DECRYPT"
+                or self.execution_mode != "EVALUATION"):
+            return 0.0
+        logstd = (self.statistical_security / 2
+                  + np.log2(np.sqrt(12 * self.num_adversarial_queries)))
+        return float(2.0 ** (logstd + self.noise_estimate))
 
     @property
     def num_towers(self) -> int:
@@ -149,6 +173,22 @@ def gen_context(params: CKKSParams) -> CKKSContext:
     m = 2 * n
     L = params.num_towers
     d = params.composite_degree
+    if params.decryption_noise_mode == "NOISE_FLOODING_DECRYPT" and \
+            params.execution_mode == "EVALUATION":
+        # reference: gen-cryptocontext-ckksrns-internal.h:72-92
+        if params.noise_estimate == 0:
+            raise ValueError(
+                "noise_estimate must be set (run execution_mode="
+                "'NOISE_ESTIMATION' first) for NOISE_FLOODING_DECRYPT "
+                "EVALUATION contexts")
+        logstd = (params.statistical_security / 2
+                  + np.log2(np.sqrt(12 * params.num_adversarial_queries)))
+        if logstd + params.noise_estimate > params.scaling_mod_size - 3:
+            raise ValueError(
+                f"precision of less than 3 bits is not supported: logstd "
+                f"{logstd:.1f} + noise_estimate {params.noise_estimate:.1f} "
+                f"must be <= scaling_mod_size - 3 = "
+                f"{params.scaling_mod_size - 3}")
     if d > 1:
         assert params.scaling_technique in ("FIXEDMANUAL", "FIXEDAUTO"), \
             "composite scaling supports FIXEDMANUAL/FIXEDAUTO (as the " \
@@ -356,13 +396,42 @@ def decrypt_poly(ctx: CKKSContext, sk: SecretKey, ct: Ciphertext) -> RnsPoly:
 
 
 def decrypt(ctx: CKKSContext, sk: SecretKey, ct: Ciphertext,
-            num_slots: int | None = None) -> np.ndarray:
-    """Decrypt + decode to complex slots (host CRT interpolation)."""
+            num_slots: int | None = None,
+            rng: np.random.Generator | None = None) -> np.ndarray:
+    """Decrypt + decode to complex slots (host CRT interpolation).
+
+    In NOISE_FLOODING_DECRYPT EVALUATION mode the phase is flooded with
+    Gaussian noise of ctx.params.flood_decrypt_sigma before decoding
+    (reference: ``ckksrns-pke.cpp:49-54``)."""
     m_eval = decrypt_poly(ctx, sk, ct)
+    flood_sigma = ctx.params.flood_decrypt_sigma
+    if flood_sigma:
+        rng = np.random.default_rng() if rng is None else rng
+        mags = np.rint(rng.normal(0, flood_sigma, size=ctx.n)).astype(object)
+        rows = sampling.signed_to_rns_rows(mags, ct.basis.moduli)
+        noise = dcrt.to_eval(dcrt.from_int_rows(ct.basis, rows, Format.COEFF))
+        m_eval = dcrt.add(m_eval, noise)
     m_coeff = dcrt.to_coeff(m_eval)
     rows = dcrt.to_int_rows(m_coeff)
     coeffs = crt_interpolate_centered(rows, ct.basis.moduli)
     return encoding.ckks_decode(coeffs, ctx.n, ct.scale, num_slots)
+
+
+def estimate_log_error(slots, scale: float) -> float:
+    """log2 error estimate of a decrypted NOISE_ESTIMATION-phase result
+    over REAL inputs: the imaginary parts of the decoded slots are pure
+    noise (z - conj(z) = 2i Im z), and their stddev times the ciphertext
+    scale measures the computation's error in PHASE units — the reference
+    estimates at scale Delta without the final 2^-p division
+    (CKKSPackedEncoding::Decode EXEC_NOISE_ESTIMATION branch,
+    ``ckkspackedencoding.cpp:460-515``; surfaced as
+    Plaintext::GetLogError). Feed the result into CKKSParams.noise_estimate
+    for the EVALUATION-phase context; pass the decrypted ciphertext's
+    ``.scale`` as ``scale``."""
+    slots = np.asarray(slots)
+    stddev = float(np.std(np.imag(slots))) * float(scale)
+    stddev = max(stddev, 2.0 ** -40)
+    return float(np.round(np.log2(stddev)))
 
 
 def crt_interpolate_centered(rows, moduli: Tuple[int, ...]):

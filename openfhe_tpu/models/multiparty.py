@@ -1,16 +1,22 @@
 """Threshold (multiparty) FHE: additively shared secrets, round-robin joint
-public key, and distributed decryption.
+public key, and distributed decryption — scheme-generic over CKKS, BGV and
+BFV, like the reference's Element-generic Multiparty capability.
 
 Role of the reference's Multiparty capability
-(``pke/lib/schemebase/base-multiparty.cpp``; examples threshold-fhe.cpp):
+(``pke/lib/schemebase/base-multiparty.cpp:47`` — the base class is
+Element-generic and serves all three RNS schemes; examples
+threshold-fhe.cpp, threshold-fhe-5p.cpp):
 
 * ``keygen_lead`` / ``keygen_join``: party 1 samples (b1 = -a s1 + e1, a);
   each subsequent party folds in its own share: b_i = b_{i-1} - a s_i + e_i.
   The joint public key encrypts under s = sum_i s_i while no party ever
-  sees another's share.
+  sees another's share. BGV scales every multiparty noise term by t (the
+  reference's NoiseScale), keeping phases == m mod t.
 * ``decrypt_lead`` / ``decrypt_main`` / ``combine``: the lead computes
   c0 + c1 s_1 (+ flooding noise), every other party contributes c1 s_i;
-  the sum is the plaintext phase under the joint secret.
+  the sum is the plaintext phase under the joint secret. ``combine``
+  finishes with the scheme's own decode (CKKS canonical embedding, BGV
+  mod-t, BFV scale-and-round by t/Q).
 """
 
 from __future__ import annotations
@@ -26,41 +32,65 @@ from . import ckks
 from .ckks import Ciphertext, CKKSContext, PublicKey, SecretKey
 
 
-def keygen_lead(ctx: CKKSContext, rng: np.random.Generator):
-    """Party 1: fresh share + initial joint public key."""
-    pk, sk = ckks.keygen(ctx, rng)
+def _scheme(ctx):
+    """(module, name) for a context of any of the three RNS schemes."""
+    from . import bfv, bgv
+    if isinstance(ctx, CKKSContext):
+        return ckks, "ckks"
+    if isinstance(ctx, bgv.BGVContext):
+        return bgv, "bgv"
+    if isinstance(ctx, bfv.BFVContext):
+        return bfv, "bfv"
+    raise TypeError(f"unsupported context type {type(ctx).__name__}")
+
+
+def _noise_scale(ctx) -> int:
+    """BGV pre-scales every noise term by t (reference: GetNoiseScale);
+    BFV/CKKS use unscaled noise."""
+    return ctx.t if _scheme(ctx)[1] == "bgv" else 1
+
+
+def _error_poly(ctx, basis, rng) -> RnsPoly:
+    coeffs = (sampling.gaussian_coeffs(ctx.n, rng, ctx.params.sigma)
+              * _noise_scale(ctx))
+    rows = sampling.signed_to_rns_rows(coeffs, basis.moduli)
+    return dcrt.to_eval(dcrt.from_int_rows(basis, rows, Format.COEFF))
+
+
+def keygen_lead(ctx, rng: np.random.Generator):
+    """Party 1: fresh share + initial joint public key (any scheme)."""
+    module, _ = _scheme(ctx)
+    pk, sk = module.keygen(ctx, rng)
     return pk, sk
 
 
-def keygen_join(ctx: CKKSContext, pk_prev: PublicKey,
-                rng: np.random.Generator):
+def keygen_join(ctx, pk_prev: PublicKey, rng: np.random.Generator):
     """Party i >= 2: add own share s_i into the joint public key
     (reference: MultipartyKeyGen with a prior public key)."""
     basis = ctx.basis()
-    hw = ctx.params.secret_hw
+    hw = getattr(ctx.params, "secret_hw", 0)
     coeffs = sampling.sparse_ternary_coeffs(ctx.n, hw, rng) if hw else \
         sampling.ternary_coeffs(ctx.n, rng)
     sk_i = SecretKey(coeffs)
     s_i = sk_i.poly(basis)
-    e_rows = sampling.signed_to_rns_rows(
-        sampling.gaussian_coeffs(ctx.n, rng, ctx.params.sigma), basis.moduli)
-    e = dcrt.to_eval(dcrt.from_int_rows(basis, e_rows, Format.COEFF))
+    e = _error_poly(ctx, basis, rng)
     b = dcrt.add(dcrt.sub(e, dcrt.mul(pk_prev.a, s_i)), pk_prev.b)
     return PublicKey(b, pk_prev.a), sk_i
 
 
-def joint_secret(ctx: CKKSContext, shares: Sequence[SecretKey]) -> SecretKey:
+def joint_secret(ctx, shares: Sequence[SecretKey]) -> SecretKey:
     """Host-side sum of shares (FOR TESTS ONLY — never exists in a real
     deployment)."""
     total = np.sum([s.coeffs for s in shares], axis=0)
     return SecretKey(total)
 
 
-def decrypt_lead(ctx: CKKSContext, sk_share: SecretKey, ct: Ciphertext,
+def decrypt_lead(ctx, sk_share: SecretKey, ct,
                  rng: np.random.Generator,
                  flood_bits: int = 20) -> RnsPoly:
     """Lead partial decryption: c0 + c1 s_1 + e_smudge
-    (reference: MultipartyDecryptLead, noise flooding for share privacy)."""
+    (reference: MultipartyDecryptLead, noise flooding for share privacy;
+    the smudge is t-scaled for BGV so it vanishes mod t)."""
     assert len(ct.polys) == 2
     basis = ct.basis
     s = sk_share.poly(basis)
@@ -68,7 +98,7 @@ def decrypt_lead(ctx: CKKSContext, sk_share: SecretKey, ct: Ciphertext,
     return dcrt.add(part, _flood_noise(ctx, basis, rng, flood_bits))
 
 
-def decrypt_main(ctx: CKKSContext, sk_share: SecretKey, ct: Ciphertext,
+def decrypt_main(ctx, sk_share: SecretKey, ct,
                  rng: np.random.Generator,
                  flood_bits: int = 20) -> RnsPoly:
     """Non-lead partial decryption: c1 s_i + e_smudge
@@ -79,23 +109,36 @@ def decrypt_main(ctx: CKKSContext, sk_share: SecretKey, ct: Ciphertext,
     return dcrt.add(part, _flood_noise(ctx, basis, rng, flood_bits))
 
 
-def _flood_noise(ctx: CKKSContext, basis, rng, flood_bits: int) -> RnsPoly:
+def _flood_noise(ctx, basis, rng, flood_bits: int) -> RnsPoly:
     mags = rng.integers(-(1 << flood_bits), 1 << flood_bits, size=ctx.n)
-    rows = sampling.signed_to_rns_rows(mags, basis.moduli)
+    rows = sampling.signed_to_rns_rows(mags * _noise_scale(ctx),
+                                       basis.moduli)
     return dcrt.to_eval(dcrt.from_int_rows(basis, rows, Format.COEFF))
 
 
-def combine(ctx: CKKSContext, ct: Ciphertext, partials: List[RnsPoly],
-            num_slots: int | None = None) -> np.ndarray:
+def combine(ctx, ct, partials: List[RnsPoly],
+            num_slots: int | None = None):
     """Fuse partial decryptions into plaintext slots
-    (reference: MultipartyDecryptFusion)."""
+    (reference: MultipartyDecryptFusion), finishing with the scheme's
+    decode."""
+    from .. import encoding
     acc = partials[0]
     for p in partials[1:]:
         acc = dcrt.add(acc, p)
+    module, name = _scheme(ctx)
     m_coeff = dcrt.to_coeff(acc)
+    if name == "bfv":
+        from ..ops.limb import to_int_array
+        scaled = module._decrypt_scale(ctx.t, ct.basis.moduli)(m_coeff.data)
+        vals = [int(v) for v in to_int_array(scaled)[0]]
+        slots = encoding.packed_decode(vals, ctx.n, ctx.t)
+        return slots[:num_slots] if num_slots else slots
     rows = dcrt.to_int_rows(m_coeff)
     coeffs = ckks.crt_interpolate_centered(rows, ct.basis.moduli)
-    from .. import encoding
+    if name == "bgv":
+        slots = encoding.packed_decode([c % ctx.t for c in coeffs],
+                                       ctx.n, ctx.t)
+        return slots[:num_slots] if num_slots else slots
     return encoding.ckks_decode(coeffs, ctx.n, ct.scale, num_slots)
 
 
@@ -108,11 +151,11 @@ def combine(ctx: CKKSContext, ct: Ciphertext, partials: List[RnsPoly],
 from .. import keyswitch  # noqa: E402
 
 
-def _share_poly_qp(ctx: CKKSContext, sk_i: SecretKey) -> RnsPoly:
+def _share_poly_qp(ctx, sk_i: SecretKey) -> RnsPoly:
     return sk_i.poly(ctx.full_qp_basis)
 
 
-def evalmult_round1(ctx: CKKSContext, sk_i: SecretKey,
+def evalmult_round1(ctx, sk_i: SecretKey,
                     rng: np.random.Generator,
                     prev_key: keyswitch.KSKey | None = None
                     ) -> keyswitch.KSKey:
@@ -122,10 +165,12 @@ def evalmult_round1(ctx: CKKSContext, sk_i: SecretKey,
     s_i = _share_poly_qp(ctx, sk_i)
     if prev_key is None:
         return keyswitch.keygen(ctx.ks_params, s_i, s_i, rng,
-                                ctx.params.sigma)
+                                ctx.params.sigma,
+                                error_scale=_noise_scale(ctx))
     return keyswitch.keygen_with_a(ctx.ks_params, s_i, s_i,
                                    keyswitch.key_a_datas(prev_key), rng,
-                                   ctx.params.sigma)
+                                   ctx.params.sigma,
+                                   error_scale=_noise_scale(ctx))
 
 
 def evalmult_accumulate_round1(shares: Sequence[keyswitch.KSKey]
@@ -138,13 +183,14 @@ def evalmult_accumulate_round1(shares: Sequence[keyswitch.KSKey]
     return acc
 
 
-def evalmult_round2(ctx: CKKSContext, sk_i: SecretKey,
+def evalmult_round2(ctx, sk_i: SecretKey,
                     joint_ab: keyswitch.KSKey,
                     rng: np.random.Generator) -> keyswitch.KSKey:
     """Party i's round-2 share: s_i * joint_ab (+ fresh noise)
     (reference: MultiMultEvalKey)."""
     return keyswitch.scale_key_by_share(joint_ab, _share_poly_qp(ctx, sk_i),
-                                        rng, ctx.params.sigma)
+                                        rng, ctx.params.sigma,
+                                        error_scale=_noise_scale(ctx))
 
 
 def evalmult_finalize(shares: Sequence[keyswitch.KSKey]) -> keyswitch.KSKey:
@@ -156,7 +202,7 @@ def evalmult_finalize(shares: Sequence[keyswitch.KSKey]) -> keyswitch.KSKey:
     return acc
 
 
-def rot_keygen_share(ctx: CKKSContext, sk_i: SecretKey, rot: int,
+def rot_keygen_share(ctx, sk_i: SecretKey, rot: int,
                      rng: np.random.Generator,
                      prev_key: keyswitch.KSKey | None = None
                      ) -> keyswitch.KSKey:
@@ -165,14 +211,18 @@ def rot_keygen_share(ctx: CKKSContext, sk_i: SecretKey, rot: int,
     ONE round (reference: MultiEvalAutomorphismKeyGen)."""
     qp = ctx.full_qp_basis
     s_i = sk_i.poly(qp)
-    k = ckks.rotation_indices_to_galois(ctx.n, rot)
+    module, name = _scheme(ctx)
+    k = ckks.rotation_indices_to_galois(ctx.n, rot) if name == "ckks" \
+        else module.rotation_galois(ctx.n, rot)
     s_rot = dcrt.automorphism(s_i, k)
     if prev_key is None:
         return keyswitch.keygen(ctx.ks_params, s_i, s_rot, rng,
-                                ctx.params.sigma)
+                                ctx.params.sigma,
+                                error_scale=_noise_scale(ctx))
     return keyswitch.keygen_with_a(ctx.ks_params, s_i, s_rot,
                                    keyswitch.key_a_datas(prev_key), rng,
-                                   ctx.params.sigma)
+                                   ctx.params.sigma,
+                                   error_scale=_noise_scale(ctx))
 
 
 def rot_keygen_finalize(shares: Sequence[keyswitch.KSKey]

@@ -333,11 +333,19 @@ def _exact_switch_tables(from_moduli: tuple, to_moduli: tuple):
     return (rinv, rinv_pre), phi_t, (rh_t, rh_p), (rq_t, rq_p), from_mod, to_mod
 
 
-def exact_switch_basis(x: U64, from_moduli: tuple, to_moduli: tuple) -> U64:
+def exact_switch_basis(x: U64, from_moduli: tuple, to_moduli: tuple,
+                       centered: bool = False) -> U64:
     """EXACT CRT basis switch (with overflow-count correction):
-    out_i = sum_j xhat_j*[Rhat_j]_{q_i} - v*[R]_{q_i}, v = round(sum xhat_j/r_j).
+    out_i = sum_j xhat_j*[Rhat_j]_{q_i} - v*[R]_{q_i}, v = floor(sum xhat_j/r_j).
 
     (Reference: DCRTPolyImpl::SwitchCRTBasis, ``dcrtpoly-impl.h:1178``.)
+
+    With ``centered=True`` the overflow count rounds to NEAREST (the
+    reference starts its estimate at nu = 0.5), so residues encoding a
+    SIGNED value v with |v| < R/2 switch to that signed value mod the new
+    basis — required wherever the represented quantity can be negative
+    (e.g. round(t*X/Q) of a negacyclic tensor in BFV EvalMult). The
+    default floor keeps positive-lift semantics for in-range values.
     """
     from_moduli, to_moduli = tuple(from_moduli), tuple(to_moduli)
     (rinv, rinv_pre), phi_t, (rh_t, rh_p), (rq_t, rq_p), from_mod, to_mod = \
@@ -349,6 +357,10 @@ def exact_switch_basis(x: U64, from_moduli: tuple, to_moduli: tuple) -> U64:
     # as three u64 limbs (a0, a1, a2); v = a2*2^64 + a1... (< |R|, fits a1).
     zeros = U64(jnp.zeros_like(xhat.lo[0]), jnp.zeros_like(xhat.hi[0]))
     a0, a1, a2 = zeros, zeros, zeros
+    if centered:
+        # + 2^127 into the fixed-point accumulator == +1/2 on the count
+        a1 = U64(jnp.zeros_like(a1.lo),
+                 jnp.full_like(a1.hi, jnp.uint32(1 << 31)))
     for j in range(L):
         xj = U64(xhat.lo[j], xhat.hi[j])
         d1 = U64(d1_t.lo[j], d1_t.hi[j])

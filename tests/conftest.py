@@ -13,8 +13,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: keyswitch/NTT graphs are large; re-runs hit cache.
-os.makedirs("/tmp/openfhe_tpu_xla_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/openfhe_tpu_xla_cache")
+os.makedirs("/tmp/openfhe_tpu_xla_cache_cpu", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/openfhe_tpu_xla_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 try:
     jax.config.update("jax_num_cpu_devices", 8)

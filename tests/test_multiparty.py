@@ -1,11 +1,100 @@
-"""Threshold FHE: 3-party joint keygen + distributed decryption
-(the reference's UnitTestMultiparty contract)."""
+"""Threshold FHE: 3-party joint keygen + distributed decryption, for all
+three RNS schemes (the reference's UnitTestMultiparty contract;
+``base-multiparty.cpp:47`` is Element-generic and serves CKKS, BGV and
+BFV alike)."""
 
 import numpy as np
+import pytest
 
-from openfhe_tpu.models import ckks, multiparty as mp
+from openfhe_tpu.models import bfv, bgv, ckks, multiparty as mp
 
 RNG = np.random.default_rng(321)
+
+
+def _gen(scheme):
+    if scheme == "bgv":
+        ctx = bgv.gen_context(bgv.BGVParams(ring_dim=128, mult_depth=2,
+                                            mod_size=55, dnum=2))
+        return bgv, ctx
+    ctx = bfv.gen_context(bfv.BFVParams(ring_dim=128, num_towers=3,
+                                        mod_size=55, dnum=2))
+    return bfv, ctx
+
+
+@pytest.mark.parametrize("scheme", ["bgv", "bfv"])
+def test_three_party_exact_schemes(scheme):
+    """Joint keygen + distributed decrypt round-trips EXACT integer slots
+    for BGV and BFV (the CKKS case is the approximate test below)."""
+    module, ctx = _gen(scheme)
+    rng = np.random.default_rng(17)
+    pk1, sk1 = mp.keygen_lead(ctx, rng)
+    pk2, sk2 = mp.keygen_join(ctx, pk1, rng)
+    pk, sk3 = mp.keygen_join(ctx, pk2, rng)
+
+    msg = [3, 1, 4, 1, 5, 9, 2, 6]
+    ct = module.encrypt(ctx, pk, msg, rng)
+
+    # no single share decrypts
+    assert module.decrypt(ctx, sk1, ct, num_slots=8) != msg
+
+    parts = [mp.decrypt_lead(ctx, sk1, ct, rng)]
+    parts += [mp.decrypt_main(ctx, s, ct, rng) for s in (sk2, sk3)]
+    assert list(mp.combine(ctx, ct, parts, num_slots=8)) == msg
+
+    # homomorphic add under the joint key, fused decrypt still exact
+    ct2 = module.eval_add(ct, ct)
+    parts = [mp.decrypt_lead(ctx, sk1, ct2, rng)]
+    parts += [mp.decrypt_main(ctx, s, ct2, rng) for s in (sk2, sk3)]
+    want = [(2 * m) % ctx.t for m in msg]
+    assert list(mp.combine(ctx, ct2, parts, num_slots=8)) == want
+
+
+@pytest.mark.parametrize("scheme", ["bgv", "bfv"])
+def test_interactive_eval_keys_schemes(scheme):
+    """2-round joint relinearization + 1-round joint rotation keys work
+    for BGV/BFV (t-scaled noise for BGV): EvalMult+Relin and EvalRotate
+    under the joint key decrypt exactly via fused partials."""
+    module, ctx = _gen(scheme)
+    rng = np.random.default_rng(29)
+    pk1, sk1 = mp.keygen_lead(ctx, rng)
+    pk2, sk2 = mp.keygen_join(ctx, pk1, rng)
+    pk, sk3 = mp.keygen_join(ctx, pk2, rng)
+    shares = [sk1, sk2, sk3]
+
+    r1 = [mp.evalmult_round1(ctx, sk1, rng)]
+    r1.append(mp.evalmult_round1(ctx, sk2, rng, prev_key=r1[0]))
+    r1.append(mp.evalmult_round1(ctx, sk3, rng, prev_key=r1[0]))
+    joint_ab = mp.evalmult_accumulate_round1(r1)
+    evk = mp.evalmult_finalize(
+        [mp.evalmult_round2(ctx, s, joint_ab, rng) for s in shares])
+
+    rsh = [mp.rot_keygen_share(ctx, sk1, 1, rng)]
+    rsh.append(mp.rot_keygen_share(ctx, sk2, 1, rng, prev_key=rsh[0]))
+    rsh.append(mp.rot_keygen_share(ctx, sk3, 1, rng, prev_key=rsh[0]))
+    rot_key = mp.rot_keygen_finalize(rsh)
+
+    n_slots = ctx.n // 2
+    m1 = [(i % 7) + 1 for i in range(n_slots)]
+    m2 = [(i % 5) + 2 for i in range(n_slots)]
+    ct1 = module.encrypt(ctx, pk, m1, rng)
+    ct2 = module.encrypt(ctx, pk, m2, rng)
+    if scheme == "bgv":
+        prod = module.eval_mult_relin(ct1, ct2, evk)
+    else:
+        prod = module.eval_mult_relin(ctx, ct1, ct2, evk)
+    parts = [mp.decrypt_lead(ctx, sk1, prod, rng)]
+    parts += [mp.decrypt_main(ctx, s, prod, rng) for s in (sk2, sk3)]
+    got = mp.combine(ctx, prod, parts, num_slots=8)
+    assert list(got) == [(a * b) % ctx.t for a, b in zip(m1[:8], m2[:8])]
+
+    rot = module.eval_rotate(ct1, 1, rot_key)
+    parts = [mp.decrypt_lead(ctx, sk1, rot, rng)]
+    parts += [mp.decrypt_main(ctx, s, rot, rng) for s in (sk2, sk3)]
+    got = mp.combine(ctx, rot, parts, num_slots=4)
+    # packed-slot rotation moves row slots left by 1 within each row
+    half = n_slots
+    want = (m1[1:half] + m1[:1])[:4]
+    assert list(got) == want
 
 
 def test_three_party_encrypt_decrypt():
