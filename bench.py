@@ -206,6 +206,57 @@ def main():
             "ckks_rotate_us": round(rot_us, 1),
         }
 
+    if os.environ.get("BENCH_SKIP_MULT") != "1" and \
+            os.environ.get("BENCH_SKIP_COMPOSITE") != "1":
+        # Composite scaling: the same ~480 bits of modulus as the 8x60-bit
+        # chain, carried by 16 towers of ~30-bit primes — every op rides
+        # the single-limb u32 engine (the production CKKS configuration).
+        from openfhe_tpu.models import ckks
+
+        t0 = time.time()
+        params_c = ckks.CKKSParams(ring_dim=n, mult_depth=towers - 1,
+                                   scaling_mod_size=59, first_mod_size=60,
+                                   dnum=3, composite_degree=2)
+        ctx_c = ckks.gen_context(params_c)
+        pk_c, sk_c = ckks.keygen(ctx_c, rng)
+        evk_c = ckks.relin_keygen(ctx_c, sk_c, rng)
+        rot_key_c = ckks.rot_keygen(ctx_c, sk_c, [1], rng)[1]
+        log(f"composite ckks context+keys: {time.time()-t0:.1f}s "
+            f"({len(ctx_c.q_moduli)} towers of "
+            f"~{max(ctx_c.q_moduli).bit_length()} bits)")
+        v = rng.normal(size=n // 2)
+        ct1c = ckks.Ciphertext(ckks.encrypt(ctx_c, pk_c, v, rng).polys, 1.0)
+        ct2c = ckks.Ciphertext(ckks.encrypt(ctx_c, pk_c, v, rng).polys, 1.0)
+
+        def mult_loop_c(k):
+            @jax.jit
+            def f(polys, other, key):
+                def body(i, cv):
+                    ct = ckks.Ciphertext(cv, 1.0)
+                    return ckks.eval_mult_relin(ct, other, key).polys
+                return jax.lax.fori_loop(0, k, body, polys)
+            return lambda: f(ct1c.polys, ct2c, evk_c)
+
+        def rot_loop_c(k):
+            @jax.jit
+            def f(polys, key):
+                def body(i, cv):
+                    ct = ckks.Ciphertext(cv, 1.0)
+                    return ckks.eval_rotate(ct, 1, key).polys
+                return jax.lax.fori_loop(0, k, body, polys)
+            return lambda: f(ct1c.polys, rot_key_c)
+
+        mult_c = marginal_us("multrelin-composite", mult_loop_c,
+                             lambda o: o[0].lo[0, 0])
+        rot_c = marginal_us("rotate-composite", rot_loop_c,
+                            lambda o: o[0].lo[0, 0])
+        log(f"CKKS composite(u32) EvalMult+Relin {mult_c:.0f} us, "
+            f"EvalRotate {rot_c:.0f} us")
+        extra.update({
+            "ckks_multrelin_composite_us": round(mult_c, 1),
+            "ckks_rotate_composite_us": round(rot_c, 1),
+        })
+
     # Primary metric: 60-bit-equivalent tower-NTT throughput from the best
     # production path — the u64 four-step on a 60-bit chain, or the u32
     # single-limb engine on a 30-bit chain at half credit (composite

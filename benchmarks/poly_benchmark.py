@@ -6,30 +6,43 @@ case matrix: {add, mul, ntt, intt} x towers {1, 2, 4, 8} at ring dims
 ``poly-benchmark-16k.cpp:47-52``). Runs on whatever backend JAX selects
 (TPU under the driver; set JAX_PLATFORMS=cpu to compare on host).
 
+Timing: the in-graph fori_loop MARGINAL methodology shared with bench.py
+(benchmarks/timing.py) — trustworthy through the non-blocking axon tunnel,
+unlike wall-clock around block_until_ready.
+
 Usage: python benchmarks/poly_benchmark.py [--ring-logs 10,12,14,16]
-       [--towers 1,2,4,8] [--iters 50]
+       [--towers 1,2,4,8]
 """
 
 import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
+
+_here = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _here)                      # timing helper
+sys.path.insert(0, os.path.dirname(_here))     # repo root
+from timing import METHOD_LOOP, marginal_loop_us  # noqa: E402
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ring-logs", default="10,12,14,16")
     ap.add_argument("--towers", default="1,2,4,8")
-    ap.add_argument("--iters", type=int, default=50)
     args = ap.parse_args()
 
     import jax
 
-    os.makedirs("/tmp/openfhe_tpu_xla_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/openfhe_tpu_xla_cache")
+    # sitecustomize pins the axon (TPU tunnel) platform at interpreter
+    # start; BENCH_PLATFORM=cpu reroutes to the host for comparison runs
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    cache = "/tmp/openfhe_tpu_xla_cache" + (
+        "_cpu" if os.environ.get("BENCH_PLATFORM") == "cpu" else "")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from openfhe_tpu.ops import limb, modular, ntt
@@ -49,25 +62,24 @@ def main():
             hi = rng.integers(0, 1 << 27, (towers, n),
                               dtype=np.uint64).astype(np.uint32)
             a = limb.U64(jax.device_put(lo), jax.device_put(hi))
-            b = limb.U64(jax.device_put(hi), jax.device_put(lo))
+            b = limb.U64(jax.device_put(np.roll(lo, 1, axis=-1)),
+                         jax.device_put(np.roll(hi, 1, axis=-1)))
 
-            add_fn = jax.jit(lambda x, y: modular.add_mod(x, y, mod.q))
-            mul_fn = jax.jit(lambda x, y: modular.mul_mod(x, y, mod))
-            fwd = lambda x: ntt.forward_jit(plan, x)
-            inv = lambda x: ntt.inverse_jit(plan, x)
-
-            for name, fn, nargs in [("add", add_fn, 2), ("mul", mul_fn, 2),
-                                    ("ntt", fwd, 1), ("intt", inv, 1)]:
-                out = fn(a, b) if nargs == 2 else fn(a)
-                jax.block_until_ready(out.lo)
-                t0 = time.time()
-                x = a
-                for _ in range(args.iters):
-                    x = fn(x, b) if nargs == 2 else fn(x)
-                jax.block_until_ready(x.lo)
-                us = (time.time() - t0) / args.iters * 1e6
+            cases = [
+                ("add", lambda v: modular.add_mod(v, b, mod.q)),
+                ("mul", lambda v: modular.mul_mod(v, b, mod)),
+                ("ntt", lambda v: ntt.forward(plan, v)),
+                ("intt", lambda v: ntt.inverse(plan, v)),
+            ]
+            # scale trip counts so the timed work dwarfs readback jitter
+            # even for microsecond ops at small n
+            k_big = 10 + max(50, (1 << 24) // (n * towers))
+            for name, body in cases:
+                us = marginal_loop_us(body, a, lambda o: o.lo[0, 0],
+                                      k_small=10, k_big=k_big, reps=5)
                 results.append({"case": f"DCRT_{name}", "ring_log": ring_log,
-                                "towers": towers, "us": round(us, 2)})
+                                "towers": towers, "us": round(us, 2),
+                                "method": METHOD_LOOP})
                 print(f"DCRT_{name:5s} n=2^{ring_log} towers={towers}: "
                       f"{us:9.2f} us", file=sys.stderr)
     print(json.dumps(results))

@@ -106,12 +106,17 @@ def main():
         rng = np.random.default_rng(11)
         log(f"[B] bootstrap at n={n}")
         t0 = time.time()
-        params = ckks.CKKSParams(ring_dim=n, mult_depth=14,
+        # K must cover the mod-raise overflow count I: sigma(I) ~
+        # sqrt(hw)/2 = 4, and the MAX over n=2^14 coefficients reaches
+        # ~4*sqrt(2 ln n) ~ 18 — K=16 (fine at the n=512 test scale)
+        # overflows here, so use the reference's sparse-secret K=25 with
+        # a correspondingly wider Chebyshev approximation.
+        params = ckks.CKKSParams(ring_dim=n, mult_depth=18,
                                  scaling_mod_size=35, first_mod_size=50,
                                  dnum=3, secret_hw=64)
         ctx = ckks.gen_context(params)
         pk, sk = ckks.keygen(ctx, rng)
-        pre = boot.setup(ctx, slots=8, K=16, r=5, cheb_deg=28)
+        pre = boot.setup(ctx, slots=4, K=25, r=5, cheb_deg=44)
         t_setup = time.time() - t0
         log(f"[B] context+keygen+setup: {t_setup:.1f}s")
         t0 = time.time()
@@ -119,8 +124,8 @@ def main():
         t_btkeys = time.time() - t0
         log(f"[B] bootstrap keygen: {t_btkeys:.1f}s")
 
-        vals = np.array([0.25, -0.5, 0.75, 0.125, -0.25, 0.5, -0.75, 0.0])
-        v_rep = np.tile(vals, ctx.params.num_slots // 8)
+        vals = np.array([0.25, -0.5, 0.75, 0.125])
+        v_rep = np.tile(vals, ctx.params.num_slots // 4)
         ct = ckks.encrypt(ctx, pk, v_rep, rng)
         ct_low = ckks.level_reduce(ct, len(ctx.q_moduli) - 1)
         assert ct_low.towers == 1
@@ -134,7 +139,7 @@ def main():
         out = boot.eval_bootstrap(ctx, keys, pre, ct_low)
         np.asarray(out.polys[0].data.lo[0, 0])
         t_warm = time.time() - t0
-        dec = ckks.decrypt(ctx, sk, out, num_slots=8)
+        dec = ckks.decrypt(ctx, sk, out, num_slots=4)
         err = float(np.max(np.abs(dec.real - vals)))
         log(f"[B] bootstrap warm: {t_warm:.2f}s, levels regained: "
             f"{out.towers}, max |err| = {err:.3e}")

@@ -540,6 +540,8 @@ def rescale(ct: Ciphertext, degree: int = 1) -> Ciphertext:
     drops, reference COMPOSITESCALING semantics); ``rescale_ctx`` wraps
     that."""
     for _ in range(degree):
+        assert ct.towers >= 2, \
+            "rescale needs at least 2 towers (increase mult_depth)"
         moduli = ct.basis.moduli
         new_basis = ct.basis.drop_last()
         fn = _rescale_fn(moduli)

@@ -396,3 +396,72 @@ def eval_max_scheme_switching(ctx, bctx, pre, keys, bk, evk, rot_keys,
     1990-2074): returns (max ciphertext, one-hot argmax indicator)."""
     return _eval_extremum(ctx, bctx, pre, keys, bk, evk, rot_keys, ct,
                           num_values, p_msg, minimum=False)
+
+
+def _eval_extremum_alt(ctx, bctx, pre, keys, bk, evk, rot_keys, ct,
+                       num_values: int, p_msg: int, minimum: bool):
+    """The Alt tournament (reference EvalMin/MaxSchemeSwitchingAlt,
+    ckksrns-schemeswitching.cpp:1909-1988, 2075-2150): instead of
+    expanding the selection mask on the CKKS side, each round REPLICATES
+    the FHEW sign ciphertexts host-side — the negated copy is the same
+    LWE with b += q/2, which flips the +-1 sine decode — into a full
+    num_values-long LWE vector, so the mask comes back from FHEW->CKKS
+    already containing each pair's complement and one CONSTANT affine
+    (1 -+ s)/2 finishes the select. Costs a wider FHEW->CKKS conversion
+    per round; saves every mask-expansion structure."""
+    from . import ckks_advanced as adv
+    assert num_values & (num_values - 1) == 0, "numValues must be a power of 2"
+    ns = ctx.params.num_slots
+    p_idx = np.arange(ns)
+    block0 = np.zeros(pre.slots)
+    block0[:num_values] = 1.0
+    ind = ckks.rescale(ckks.eval_mult_plain(ctx, _one_ct(ctx, keys),
+                                            _tile_full(ctx, block0)))
+    cur = ct
+    m = 1
+    while m < num_values:
+        stride = num_values // (2 * m)
+        diff = adv.sub_auto(ctx, cur,
+                            ckks.eval_rotate(cur, stride, rot_keys[stride]))
+        lwes = eval_ckks_to_fhew(ctx, bctx, pre, keys, diff, stride, p_msg)
+        lut = _sign_q4_lut(p_msg)
+        signs = [binfhe.eval_func(bctx, bk, c, lut, p_msg) for c in lwes]
+        # replicate host-side: even blocks get the sign, odd blocks the
+        # negated sign (b + q/2 flips the sine output)
+        full: list = [None] * num_values
+        for j, s_j in enumerate(signs):
+            q = s_j.modulus
+            neg = binfhe.LWECiphertext(s_j.a, (s_j.b + q // 2) % q, q)
+            for i in range(2 * m):
+                full[i * stride + j] = s_j if i % 2 == 0 else neg
+        smap = p_idx % num_values
+        s = eval_fhew_to_ckks(ctx, bctx, pre, keys, full, slot_map=smap)
+        const = -0.5 if minimum else 0.5
+        sel = ckks.eval_add_plain(
+            ctx, ckks.rescale(ckks.eval_mult_plain(
+                ctx, s, np.full(ns, const))),
+            np.full(ns, 0.5))
+        cur = adv.mult_auto(ctx, cur, sel, evk)
+        cur = adv.add_auto(ctx, cur,
+                           ckks.eval_rotate(cur, stride, rot_keys[stride]))
+        ind = adv.mult_auto(ctx, ind, sel, evk)
+        m *= 2
+    return cur, ind
+
+
+def eval_min_scheme_switching_alt(ctx, bctx, pre, keys, bk, evk, rot_keys,
+                                  ct: Ciphertext, num_values: int,
+                                  p_msg: int):
+    """(role of EvalMinSchemeSwitchingAlt,
+    ckksrns-schemeswitching.h:138)."""
+    return _eval_extremum_alt(ctx, bctx, pre, keys, bk, evk, rot_keys, ct,
+                              num_values, p_msg, minimum=True)
+
+
+def eval_max_scheme_switching_alt(ctx, bctx, pre, keys, bk, evk, rot_keys,
+                                  ct: Ciphertext, num_values: int,
+                                  p_msg: int):
+    """(role of EvalMaxSchemeSwitchingAlt,
+    ckksrns-schemeswitching.h:148)."""
+    return _eval_extremum_alt(ctx, bctx, pre, keys, bk, evk, rot_keys, ct,
+                              num_values, p_msg, minimum=False)

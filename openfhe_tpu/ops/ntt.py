@@ -256,6 +256,7 @@ def forward(plan: NTTPlan, a: U64) -> U64:
     runs on the single-limb u32 engine (ops/ntt32.py), returning a zero
     hi plane that XLA's algebraic simplifier folds out of downstream
     arithmetic."""
+    assert plan.moduli, "NTT over an empty modulus chain (no towers left)"
     if max(plan.moduli) < (1 << 31):
         from . import ntt32
 
@@ -289,6 +290,7 @@ def inverse(plan: NTTPlan, a: U64) -> U64:
     """Batched inverse: bit-reversed evaluation order -> natural coefficients,
     including the 1/n scaling (folded in as a final Shoup multiply).
     """
+    assert plan.moduli, "NTT over an empty modulus chain (no towers left)"
     if max(plan.moduli) < (1 << 31):
         from . import ntt32
 

@@ -113,3 +113,31 @@ def test_min_max_scheme_switching(setup):
     got_ind2 = ckks.decrypt(ctx, sk, ind2, num_slots=2).real
     assert abs(got_max - 3.0) < 0.15, got_max
     assert np.max(np.abs(got_ind2 - [1.0, 0.0])) < 0.15, got_ind2
+
+
+@pytest.mark.skipif(os.environ.get("SKIP_SCHEME_SWITCH_TEST") == "1",
+                    reason="explicitly skipped")
+def test_min_max_scheme_switching_alt(setup):
+    """The Alt variants (host-side sign replication instead of CKKS mask
+    expansion, ckksrns-schemeswitching.cpp:1909-2150): numValues=4 so the
+    replication actually multiplexes sign/negated-sign blocks."""
+    ctx, bctx, pre, keys, pk, sk, sk_f = setup
+    bk = binfhe.bootstrap_keygen(bctx, sk_f, RNG)
+    evk = keys.evk
+    p_msg = 8
+    num_values = 4
+    rot_idx = ss.extremum_rotation_indices(ctx, num_values)
+    rot_keys = ckks.rot_keygen(ctx, sk, rot_idx, RNG)
+    vals = [3, 1, 2, 3]
+    ct = ckks.encrypt(ctx, pk, _tile(ctx, vals + [0] * 4), RNG)
+    mn, ind = ss.eval_min_scheme_switching_alt(
+        ctx, bctx, pre, keys, bk, evk, rot_keys, ct, num_values, p_msg)
+    got_min = ckks.decrypt(ctx, sk, mn, num_slots=1).real[0]
+    got_ind = ckks.decrypt(ctx, sk, ind, num_slots=4).real
+    assert abs(got_min - 1.0) < 0.2, got_min
+    assert np.max(np.abs(got_ind - [0, 1, 0, 0])) < 0.2, got_ind
+
+    mx, _ = ss.eval_max_scheme_switching_alt(
+        ctx, bctx, pre, keys, bk, evk, rot_keys, ct, num_values, p_msg)
+    got_max = ckks.decrypt(ctx, sk, mx, num_slots=1).real[0]
+    assert abs(got_max - 3.0) < 0.2, got_max
