@@ -59,6 +59,17 @@ class RnsBasis:
         return _basis_mod(self)
 
     @property
+    def is_u32(self) -> bool:
+        """Every modulus < 2^31: elementwise ops and NTTs run single-limb
+        u32 arithmetic on the lo planes (hi planes are identically zero
+        under the reduced-residue contract)."""
+        return modular.is_u32_moduli(self.moduli)
+
+    @property
+    def mod32(self):
+        return _basis_mod32(self)
+
+    @property
     def plan(self) -> ntt.NTTPlan:
         return _basis_plan(self)
 
@@ -76,6 +87,15 @@ class RnsBasis:
 @lru_cache(maxsize=None)
 def _basis_mod(basis: RnsBasis) -> ModConsts:
     return modular.make_mod_consts(basis.moduli, trailing_dims=1)
+
+
+@lru_cache(maxsize=None)
+def _basis_mod32(basis: RnsBasis):
+    return modular.make_mod_consts32(basis.moduli, trailing_dims=1)
+
+
+def _u32_out(lo) -> U64:
+    return U64(lo, jnp.zeros_like(lo))
 
 
 @lru_cache(maxsize=None)
@@ -134,21 +154,33 @@ def _check(a: RnsPoly, b: RnsPoly):
 
 def add(a: RnsPoly, b: RnsPoly) -> RnsPoly:
     _check(a, b)
+    if a.basis.is_u32:
+        return a.with_data(_u32_out(
+            modular.add_mod32(a.lo, b.lo, a.basis.mod32.q)))
     return a.with_data(modular.add_mod(a.data, b.data, a.basis.mod.q))
 
 
 def sub(a: RnsPoly, b: RnsPoly) -> RnsPoly:
     _check(a, b)
+    if a.basis.is_u32:
+        return a.with_data(_u32_out(
+            modular.sub_mod32(a.lo, b.lo, a.basis.mod32.q)))
     return a.with_data(modular.sub_mod(a.data, b.data, a.basis.mod.q))
 
 
 def neg(a: RnsPoly) -> RnsPoly:
+    if a.basis.is_u32:
+        return a.with_data(_u32_out(
+            modular.neg_mod32(a.lo, a.basis.mod32.q)))
     return a.with_data(modular.neg_mod(a.data, a.basis.mod.q))
 
 
 def mul(a: RnsPoly, b: RnsPoly) -> RnsPoly:
     """Elementwise product; meaningful ring product only in EVAL format."""
     _check(a, b)
+    if a.basis.is_u32:
+        return a.with_data(_u32_out(
+            modular.mul_mod32(a.lo, b.lo, a.basis.mod32)))
     return a.with_data(modular.mul_mod(a.data, b.data, a.basis.mod))
 
 
@@ -156,6 +188,9 @@ def mul_scalar_int(a: RnsPoly, c: int) -> RnsPoly:
     """Multiply by a plain integer constant (reduced per tower, Shoup)."""
     consts = [c % q for q in a.basis.moduli]
     cc = _tower_const(a.basis, tuple(consts))
+    if a.basis.is_u32:
+        return a.with_data(_u32_out(modular.mul_mod_shoup32(
+            a.lo, cc[0].lo, cc[1].hi, a.basis.mod32.q)))
     return a.with_data(
         modular.mul_mod_shoup(a.data, cc[0], cc[1], a.basis.mod.q))
 
@@ -175,6 +210,9 @@ def tower_const(basis: RnsBasis, consts) -> tuple:
 
 def _mul_tower_const(a: RnsPoly, consts: tuple) -> RnsPoly:
     cc, pre = tower_const(a.basis, consts)
+    if a.basis.is_u32:
+        return a.with_data(_u32_out(modular.mul_mod_shoup32(
+            a.lo, cc.lo, pre.hi, a.basis.mod32.q)))
     return a.with_data(modular.mul_mod_shoup(a.data, cc, pre, a.basis.mod.q))
 
 
@@ -277,6 +315,9 @@ def _fmt_jit(basis: RnsBasis, forward: bool, mesh, min_n: int):
 
 def automorphism(a: RnsPoly, k: int) -> RnsPoly:
     if a.fmt == Format.EVAL:
+        if a.basis.is_u32:
+            return a.with_data(_u32_out(
+                automorph.apply_eval_array(a.lo, a.basis.n, k)))
         return a.with_data(automorph.apply_eval(a.data, a.basis.n, k))
     return a.with_data(
         automorph.apply_coeff(a.data, a.basis.mod.q, a.basis.n, k))

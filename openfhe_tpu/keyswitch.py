@@ -37,8 +37,9 @@ from .dcrt import Format, RnsBasis, RnsPoly, make_poly
 from .ops import ntt as ntt_ops
 from .ops import rns
 from .ops.limb import U64, from_int_array
-from .ops.modular import (add_mod, mul_mod, mul_mod_shoup, shoup_precon_int,
-                          sub_mod)
+from .ops.modular import (add_mod, add_mod32, mul_mod, mul_mod32,
+                          mul_mod_shoup, mul_mod_shoup32, shoup_precon_int,
+                          sub_mod, sub_mod32)
 from .utils import sampling
 
 
@@ -222,6 +223,12 @@ def _digit_b_batch_fn(basis: RnsBasis):
     @jax.jit
     def fn(a, e_coeff, s_enc, s_target, fac, fac_pre):
         e = ntt_ops.forward(basis.plan, e_coeff)
+        if basis.is_u32:
+            m32 = basis.mod32
+            gterm = mul_mod_shoup32(s_enc.lo, fac.lo, fac_pre.hi, m32.q)
+            a_s = mul_mod32(a.lo, s_target.lo, m32)
+            out = sub_mod32(add_mod32(gterm, e.lo, m32.q), a_s, m32.q)
+            return U64(out, jnp.zeros_like(out))
         gterm = mul_mod_shoup(s_enc, fac, fac_pre, mod.q)
         a_s = mul_mod(a, s_target, mod)
         return sub_mod(add_mod(gterm, e, mod.q), a_s, mod.q)
@@ -284,6 +291,12 @@ def _digit_b_fn(basis: RnsBasis):
     @jax.jit
     def digit_b(a_data, e_coeff_data, s_from_data, s_to_data, fj, fj_pre):
         e = ntt_ops.forward(basis.plan, e_coeff_data)
+        if basis.is_u32:
+            m32 = basis.mod32
+            gterm = mul_mod_shoup32(s_to_data.lo, fj.lo, fj_pre.hi, m32.q)
+            a_s = mul_mod32(a_data.lo, s_from_data.lo, m32)
+            out = sub_mod32(add_mod32(gterm, e.lo, m32.q), a_s, m32.q)
+            return U64(out, jnp.zeros_like(out))
         gterm = mul_mod_shoup(s_to_data, fj, fj_pre, mod.q)
         a_s = mul_mod(a_data, s_from_data, mod)
         return sub_mod(add_mod(gterm, e, mod.q), a_s, mod.q)
@@ -351,18 +364,35 @@ def hoist_inner_product(key: KSKey, digits: U64, basis: RnsBasis
 
     # active rows of the key: q_0..q_{lvl-1} then the P block
     idx = jnp.asarray(list(range(lvl)) + list(range(Lfull, Lfull + K)))
-    acc0 = acc1 = None
-    for j in range(ndig):
-        digit = U64(digits.lo[j], digits.hi[j])
-        kb = U64(key.b_lo[j][idx], key.b_hi[j][idx])
-        ka = U64(key.a_lo[j][idx], key.a_hi[j][idx])
-        t0 = mul_mod(digit, kb, eb.mod)
-        t1 = mul_mod(digit, ka, eb.mod)
-        if acc0 is None:
-            acc0, acc1 = t0, t1
-        else:
-            acc0 = add_mod(acc0, t0, eb.mod.q)
-            acc1 = add_mod(acc1, t1, eb.mod.q)
+    if eb.is_u32:
+        # single-limb inner product: key/digit hi planes are identically
+        # zero under the reduced-residue contract and never touched.
+        m32 = eb.mod32
+        a0 = a1 = None
+        for j in range(ndig):
+            dj = digits.lo[j]
+            t0 = mul_mod32(dj, key.b_lo[j][idx], m32)
+            t1 = mul_mod32(dj, key.a_lo[j][idx], m32)
+            if a0 is None:
+                a0, a1 = t0, t1
+            else:
+                a0 = add_mod32(a0, t0, m32.q)
+                a1 = add_mod32(a1, t1, m32.q)
+        z = jnp.zeros_like(a0)
+        acc0, acc1 = U64(a0, z), U64(a1, z)
+    else:
+        acc0 = acc1 = None
+        for j in range(ndig):
+            digit = U64(digits.lo[j], digits.hi[j])
+            kb = U64(key.b_lo[j][idx], key.b_hi[j][idx])
+            ka = U64(key.a_lo[j][idx], key.a_hi[j][idx])
+            t0 = mul_mod(digit, kb, eb.mod)
+            t1 = mul_mod(digit, ka, eb.mod)
+            if acc0 is None:
+                acc0, acc1 = t0, t1
+            else:
+                acc0 = add_mod(acc0, t0, eb.mod.q)
+                acc1 = add_mod(acc1, t1, eb.mod.q)
 
     # mod-down by P: coeff domain, split Q/P parts
     from . import dcrt as _dcrt
@@ -399,7 +429,12 @@ def hoist_rotate_apply(key: KSKey, digits: U64, basis: RnsBasis,
     (reference: EvalFastRotation applying AutomorphismTransform to the
     precomputed digits)."""
     from .ops import automorph
-    rotated = automorph.apply_eval(digits, basis.n, galois_k)
+    eb = ext_basis(key.params, basis.L)
+    if eb.is_u32:
+        lo = automorph.apply_eval_array(digits.lo, basis.n, galois_k)
+        rotated = U64(lo, jnp.zeros_like(lo))
+    else:
+        rotated = automorph.apply_eval(digits, basis.n, galois_k)
     return hoist_inner_product(key, rotated, basis)
 
 

@@ -66,6 +66,13 @@ def apply_eval(x: U64, n: int, k: int) -> U64:
     return U64(x.lo[..., perm], x.hi[..., perm])
 
 
+def apply_eval_array(x, n: int, k: int):
+    """Single-plane variant (u32 fast path: the hi plane is identically
+    zero, so gathering it would be pure wasted HBM traffic)."""
+    perm = jnp.asarray(eval_perm(n, k))
+    return x[..., perm]
+
+
 def apply_coeff(x: U64, q: U64, n: int, k: int) -> U64:
     """Automorphism in COEFFICIENT form: gather + negacyclic sign flip."""
     from .modular import neg_mod

@@ -224,6 +224,37 @@ def shoup_precon32_int(c: int, q: int) -> int:
     return (c << 32) // q
 
 
+def is_u32_moduli(moduli) -> bool:
+    """True when every modulus fits the single-limb u32 fast path."""
+    return all(int(q) < (1 << 31) for q in moduli)
+
+
+class ModConsts32(NamedTuple):
+    """Single-limb per-modulus constants for q < 2^31 (uint32 host arrays,
+    broadcastable like ModConsts)."""
+
+    q: np.ndarray        # the modulus
+    mu: np.ndarray       # floor(2^32 / q) -- single-word Barrett constant
+    r32: np.ndarray      # 2^32 mod q
+    r32_pre: np.ndarray  # floor(r32 * 2^32 / q)
+
+
+def make_mod_consts32(moduli: Sequence[int],
+                      trailing_dims: int = 1) -> ModConsts32:
+    qs = [int(q) for q in moduli]
+    for q in qs:
+        assert 1 < q < (1 << 31), "u32 consts need q < 2^31"
+    shape = (len(qs),) + (1,) * trailing_dims
+
+    def mk(vals):
+        return np.asarray(vals, np.uint32).reshape(shape)
+
+    mus = [(1 << 32) // q for q in qs]
+    r32s = [(1 << 32) % q for q in qs]
+    r32_pre = [shoup_precon32_int(r, q) for r, q in zip(r32s, qs)]
+    return ModConsts32(mk(qs), mk(mus), mk(r32s), mk(r32_pre))
+
+
 def add_mod32(a, b, q):
     """(a + b) mod q for a, b < q < 2^31 (sum fits u32)."""
     s = a + b
@@ -238,10 +269,46 @@ def sub_mod32(a, b, q):
 
 def mul_mod_shoup32(x, c, c_precon, q):
     """(x * c) mod q for constant c < q < 2^31 with 32-bit Shoup precon
-    c_precon = floor(c*2^32/q); requires x < q. r = x*c - floor(x*c'/2^32)*q
-    lands in [0, 2q) (classic Shoup bound for x < q); one conditional
-    subtract finishes. All multiplies are native u32 (low halves wrap
-    consistently mod 2^32)."""
+    c_precon = floor(c*2^32/q), for ANY uint32 x (same proof as the 64-bit
+    variant: h = floor(x*c'/2^32) >= x*c/q - x/2^32 - 1 > x*c/q - 2, so
+    r = x*c - h*q lands in [0, 2q) and the wrapped u32 arithmetic is
+    consistent since 2q < 2^32); one conditional subtract finishes. All
+    multiplies are native u32."""
     h = mul32x32(x, c_precon).hi
     r = x * c - h * q
     return jnp.where(r >= q, r - q, r)
+
+
+def neg_mod32(a, q):
+    """(-a) mod q for a < q."""
+    return jnp.where(a == 0, a, q - a)
+
+
+def barrett_word32(x, q, mu):
+    """x mod q for ANY uint32 x, with mu = floor(2^32/q), q < 2^31.
+    h = mulhi32(x, mu) is floor(x/q) or floor(x/q)-1, so one conditional
+    subtract of the sub-2q remainder finishes."""
+    h = mul32x32(x, mu).hi
+    r = x - h * q
+    return jnp.where(r >= q, r - q, r)
+
+
+def mul_mod32(x, y, m: ModConsts32):
+    """General (x * y) mod q for x, y < 2^32, q < 2^31: split the 64-bit
+    product H*2^32 + L; H*(2^32 mod q) via Shoup, L via Barrett."""
+    p = mul32x32(x, y)
+    t1 = mul_mod_shoup32(p.hi, m.r32, m.r32_pre, m.q)
+    t2 = barrett_word32(p.lo, m.q, m.mu)
+    return add_mod32(t1, t2, m.q)
+
+
+def switch_modulus32(a, m_old: ModConsts32, m_new: ModConsts32):
+    """Centered lift-and-reduce (see switch_modulus), all-u32 chains."""
+    half = m_old.q >> 1
+    big = a > half
+    q_mod_new = barrett_word32(m_old.q, m_new.q, m_new.mu)
+    diff = neg_mod32(q_mod_new, m_new.q)  # (q' - q) mod q'
+    # a < 2^31 and diff < q' < 2^31: the u32 add cannot overflow.
+    shifted = barrett_word32(a + diff, m_new.q, m_new.mu)
+    small = barrett_word32(a, m_new.q, m_new.mu)
+    return jnp.where(big, shifted, small)

@@ -29,13 +29,23 @@ from ..utils import nbtheory
 from .limb import U64, add64, add64_carry, from_int, from_int_array, mul64_full
 from .modular import (
     add_mod,
+    add_mod32,
     barrett_word,
+    is_u32_moduli,
     make_mod_consts,
+    make_mod_consts32,
     mul_mod_shoup,
+    mul_mod_shoup32,
     shoup_precon_int,
     sub_mod,
+    sub_mod32,
     switch_modulus,
+    switch_modulus32,
 )
+
+
+def _zero_hi(lo) -> U64:
+    return U64(lo, jnp.zeros_like(lo))
 
 
 def _const_table(values, shape, moduli_for_precon=None):
@@ -81,15 +91,29 @@ def approx_switch_basis(x: U64, from_moduli: tuple, to_moduli: tuple) -> U64:
     (``dcrtpoly-impl.h:1034-1061``) semantics. Must be applied to
     COEFFICIENT-domain residues to be meaningful.
     """
+    from_moduli, to_moduli = tuple(from_moduli), tuple(to_moduli)
     (qhi, qhi_pre), (qh_p, qh_p_pre), to_mod = switch_basis_tables(
-        tuple(from_moduli), tuple(to_moduli))
-    from_mod = make_mod_consts(tuple(from_moduli), trailing_dims=1)
+        from_moduli, to_moduli)
+    L = len(from_moduli)
+    if is_u32_moduli(from_moduli) and is_u32_moduli(to_moduli):
+        # single-limb u32 fast path: the 64-bit Shoup precon's hi plane IS
+        # the 32-bit precon (floor(floor(c*2^64/q)/2^32) = floor(c*2^32/q)),
+        # and mul_mod_shoup32 is valid for ANY u32 multiplicand, so y_i >=
+        # p_j is fine. ~6 native multiplies per term vs ~28 emulated.
+        qf32 = make_mod_consts32(from_moduli).q
+        qt32 = make_mod_consts32(to_moduli).q
+        y = mul_mod_shoup32(x.lo, qhi.lo, qhi_pre.hi, qf32)
+        acc = None
+        for i in range(L):
+            term = mul_mod_shoup32(y[i][None, :], qh_p.lo[:, i],
+                                   qh_p_pre.hi[:, i], qt32)
+            acc = term if acc is None else add_mod32(acc, term, qt32)
+        return _zero_hi(acc)
+    from_mod = make_mod_consts(from_moduli, trailing_dims=1)
     # step 1: y_i = [x_i * QHatInv_i]_{q_i}   [L, n]
     y = mul_mod_shoup(x, qhi, qhi_pre, from_mod.q)
     # step 2: terms_{j,i} = y_i * [QHat_i]_{p_j} mod p_j, summed over i.
     # Loop towers in Python (L small) to keep the working set at [K, n].
-    L = len(from_moduli)
-    K = len(to_moduli)
     qK = U64(to_mod.q.lo, to_mod.q.hi)  # [K, 1]
     acc = None
     for i in range(L):
@@ -134,6 +158,18 @@ def approx_mod_down(x_q: U64, x_p: U64, q_moduli: tuple, p_moduli: tuple,
     """
     q_moduli, p_moduli = tuple(q_moduli), tuple(p_moduli)
     pinv, pinv_pre, qmod, t_tabs = _mod_down_tables(q_moduli, p_moduli, t)
+    if is_u32_moduli(q_moduli) and is_u32_moduli(p_moduli):
+        q32 = make_mod_consts32(q_moduli).q
+        p32 = make_mod_consts32(p_moduli).q
+        xp_lo = x_p.lo
+        if t_tabs is not None:
+            (tinv, tinv_pre), (tq, tq_pre), pmod = t_tabs
+            xp_lo = mul_mod_shoup32(xp_lo, tinv.lo, tinv_pre.hi, p32)
+        conv = approx_switch_basis(_zero_hi(xp_lo), p_moduli, q_moduli).lo
+        if t_tabs is not None:
+            conv = mul_mod_shoup32(conv, tq.lo, tq_pre.hi, q32)
+        diff = sub_mod32(x_q.lo, conv, q32)
+        return _zero_hi(mul_mod_shoup32(diff, pinv.lo, pinv_pre.hi, q32))
     if t_tabs is not None:
         (tinv, tinv_pre), (tq, tq_pre), pmod = t_tabs
         x_p = mul_mod_shoup(x_p, tinv, tinv_pre, pmod.q)
@@ -167,12 +203,19 @@ def rescale_eval(x: U64, moduli: tuple) -> U64:
     moduli = tuple(moduli)
     inv, inv_pre, new_mod, old_mod = _drop_scale_tables(moduli)
     L = len(moduli)
-    x_rest = U64(x.lo[: L - 1], x.hi[: L - 1])
     x_last = U64(x.lo[L - 1][None, :], x.hi[L - 1][None, :])
     last_plan = _ntt.make_plan(x.lo.shape[-1], (moduli[-1],))
     x_last_coeff = _ntt.inverse(last_plan, x_last)
-    s = switch_modulus(x_last_coeff, old_mod, new_mod)  # [L-1, n] coeff
     rest_plan = _ntt.make_plan(x.lo.shape[-1], moduli[:-1])
+    if is_u32_moduli(moduli):
+        old32 = make_mod_consts32((moduli[-1],))
+        new32 = make_mod_consts32(moduli[:-1])
+        s = switch_modulus32(x_last_coeff.lo, old32, new32)
+        s_eval = _ntt.forward(rest_plan, _zero_hi(s)).lo
+        diff = sub_mod32(x.lo[: L - 1], s_eval, new32.q)
+        return _zero_hi(mul_mod_shoup32(diff, inv.lo, inv_pre.hi, new32.q))
+    x_rest = U64(x.lo[: L - 1], x.hi[: L - 1])
+    s = switch_modulus(x_last_coeff, old_mod, new_mod)  # [L-1, n] coeff
     s_eval = _ntt.forward(rest_plan, s)
     diff = sub_mod(x_rest, s_eval, new_mod.q)
     return mul_mod_shoup(diff, inv, inv_pre, new_mod.q)
@@ -189,6 +232,12 @@ def drop_last_and_scale(x: U64, moduli: tuple) -> U64:
     moduli = tuple(moduli)
     inv, inv_pre, new_mod, old_mod = _drop_scale_tables(moduli)
     L = len(moduli)
+    if is_u32_moduli(moduli):
+        old32 = make_mod_consts32((moduli[-1],))
+        new32 = make_mod_consts32(moduli[:-1])
+        s = switch_modulus32(x.lo[L - 1][None, :], old32, new32)
+        diff = sub_mod32(x.lo[: L - 1], s, new32.q)
+        return _zero_hi(mul_mod_shoup32(diff, inv.lo, inv_pre.hi, new32.q))
     x_rest = U64(x.lo[: L - 1], x.hi[: L - 1])
     x_last = U64(x.lo[L - 1][None, :], x.hi[L - 1][None, :])
     # centered switch of the last tower into each remaining modulus
