@@ -106,17 +106,17 @@ def main():
         rng = np.random.default_rng(11)
         log(f"[B] bootstrap at n={n}")
         t0 = time.time()
-        # K must cover the mod-raise overflow count I: sigma(I) ~
-        # sqrt(hw)/2 = 4, and the MAX over n=2^14 coefficients reaches
-        # ~4*sqrt(2 ln n) ~ 18 — K=16 (fine at the n=512 test scale)
-        # overflows here, so use the reference's sparse-secret K=25 with
-        # a correspondingly wider Chebyshev approximation.
-        params = ckks.CKKSParams(ring_dim=n, mult_depth=18,
-                                 scaling_mod_size=35, first_mod_size=50,
+        # Round 5: the sparse-packing partial-sums fold after ModRaise
+        # (ckks_bootstrap.partial_sums_fold) projects away the off-subring
+        # overflow components, so the slot readings see only the I values
+        # at the 2s subring positions (max ~ 4*sqrt(2 ln 2s) ~ 8 at
+        # hw=64) — K=16 covers at ANY ring dimension.
+        params = ckks.CKKSParams(ring_dim=n, mult_depth=20,
+                                 scaling_mod_size=45, first_mod_size=55,
                                  dnum=3, secret_hw=64)
         ctx = ckks.gen_context(params)
         pk, sk = ckks.keygen(ctx, rng)
-        pre = boot.setup(ctx, slots=4, K=25, r=5, cheb_deg=44)
+        pre = boot.setup(ctx, slots=4, K=16, r=5, cheb_deg=28)
         t_setup = time.time() - t0
         log(f"[B] context+keygen+setup: {t_setup:.1f}s")
         t0 = time.time()

@@ -152,6 +152,7 @@ def keygen(ctx: CKKSContext, sk, pre: BootstrapPrecomp,
         idx = cfft.factors_rotations(pre.cts + pre.stc)
     else:
         idx = lt_rotation_indices(pre.slots)
+    idx = sorted(set(idx) | set(partial_sum_rotations(ctx.n, pre.slots)))
     rots = ckks.rot_keygen(ctx, sk, idx, rng)
     return BootstrapKeys(evk, conj, rots)
 
@@ -187,6 +188,42 @@ def _mod_raise_fn(ctx: CKKSContext):
         return ntt_ops.forward(full_plan, lifted)
 
     return fn
+
+
+def partial_sum_rotations(n: int, s: int):
+    """Rotation indices of the sparse-packing partial-sums fold after
+    ModRaise (reference: EvalBootstrap sparse branch,
+    ``ckksrns-fhe.cpp:530-532``): j*s for j = 1, 2, 4, ... < n/(2s)."""
+    out = []
+    j = 1
+    while j < n // (2 * s):
+        out.append(j * s)
+        j <<= 1
+    return out
+
+
+def partial_sums_fold(ctx: CKKSContext, keys: BootstrapKeys,
+                      raised: Ciphertext, s: int) -> Ciphertext:
+    """Project the raised ciphertext onto the subring fixed by
+    rotation-by-s: raised <- sum_{j=0}^{P-1} rot(raised, j*s), P = n/(2s),
+    via log2(P) doubling steps (each step rotates the running sum).
+
+    Every monomial X^t with t a multiple of gap = n/(2s) is FIXED by the
+    generator sigma: X -> X^{5^s} (v2(5^s - 1) = log2(4s) exactly), so the
+    fold maps x -> P * (restriction of x to the subring) and annihilates
+    every off-subring component — in particular the coefficients of the
+    mod-raise overflow I at non-gap positions, whose aliasing into the
+    slot-periodic CtS transform is what broke bootstrap at large n/(2s)
+    (E2E_SCALE.md phase B history). The xP amplification is removed for
+    free by reinterpreting the scale (slot readings become x/(P*q0)).
+    """
+    gap = ctx.n // (2 * s)
+    if gap <= 1:
+        return raised
+    for rot in partial_sum_rotations(ctx.n, s):
+        raised = ckks.eval_add(
+            raised, ckks.eval_rotate(raised, rot, keys.rot[rot]))
+    return Ciphertext(raised.polys, raised.scale * gap)
 
 
 def _bsgs_split(s: int):
@@ -299,8 +336,11 @@ def eval_bootstrap(ctx: CKKSContext, keys: BootstrapKeys,
     sigma_in = ct.scale
     s = pre.slots
 
-    # 1. ModRaise (slots now read x/q0 — meaningless until CtS)
+    # 1. ModRaise (slots now read x/q0 — meaningless until CtS), then the
+    # sparse-packing partial-sums fold: kills the off-subring overflow
+    # components whose aliasing broke the slot transform at large n/(2s).
     raised = mod_raise(ctx, ct)
+    raised = partial_sums_fold(ctx, keys, raised, s)
 
     # 2. CoeffsToSlots: v' = LT_{A/2}(raised); split real/imag coefficient
     # halves via conjugation. Staged: DIF factors, slots exit bit-reversed
