@@ -614,10 +614,12 @@ def eval_mult_relin(ctx: BFVContext, ct1: Ciphertext, ct2: Ciphertext,
 
 def eval_automorphism(ct: Ciphertext, k: int,
                       rot_key: keyswitch.KSKey) -> Ciphertext:
+    """Hoisted order (decompose, then permute the digit stack) — see
+    ckks.eval_rotate for the TPU gather-into-NTT fusion rationale."""
     assert len(ct.polys) == 2
+    digits = keyswitch.hoist_decompose(rot_key.params, ct.polys[1])
     c0 = dcrt.automorphism(ct.polys[0], k)
-    c1 = dcrt.automorphism(ct.polys[1], k)
-    d0, d1 = keyswitch.apply(rot_key, c1)
+    d0, d1 = keyswitch.hoist_rotate_apply(rot_key, digits, ct.basis, k)
     return Ciphertext((dcrt.add(c0, d0), d1))
 
 

@@ -340,11 +340,13 @@ def _bgv_rescale_tables(ctx: BGVContext, moduli: Tuple[int, ...]):
 
 def eval_automorphism(ct: Ciphertext, k: int,
                       rot_key: keyswitch.KSKey) -> Ciphertext:
-    """Galois automorphism sigma_k + keyswitch (slot permutation)."""
+    """Galois automorphism sigma_k + keyswitch (slot permutation).
+    Hoisted order — decompose, then permute the digit stack — for the
+    same TPU gather-into-NTT fusion pathology as ckks.eval_rotate."""
     assert len(ct.polys) == 2
+    digits = keyswitch.hoist_decompose(rot_key.params, ct.polys[1])
     c0 = dcrt.automorphism(ct.polys[0], k)
-    c1 = dcrt.automorphism(ct.polys[1], k)
-    d0, d1 = keyswitch.apply(rot_key, c1)
+    d0, d1 = keyswitch.hoist_rotate_apply(rot_key, digits, ct.basis, k)
     return Ciphertext((dcrt.add(c0, d0), d1))
 
 

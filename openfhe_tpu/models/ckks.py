@@ -585,13 +585,20 @@ def compress(ctx: CKKSContext, ct: Ciphertext, towers_left: int | None = None
 
 def eval_rotate(ct: Ciphertext, rot: int, rot_key: keyswitch.KSKey
                 ) -> Ciphertext:
-    """Rotate slots by `rot` (reference: EvalAtIndex / EvalAutomorphism)."""
+    """Rotate slots by `rot` (reference: EvalAtIndex / EvalAutomorphism).
+
+    Decomposes FIRST and applies the automorphism to the hoisted digit
+    stack (the reference's EvalFastRotation order) rather than rotating
+    c1 before the keyswitch: beyond sharing the hoisting noise argument,
+    on TPU the rotate-then-decompose order lets XLA fuse the slot gather
+    into the NTT stage pipeline, which it handles pathologically
+    (~10x: measured in tpu_diag_rotate2.py, round 5)."""
     assert len(ct.polys) == 2
     n = ct.basis.n
     k = rotation_indices_to_galois(n, rot)
+    digits = keyswitch.hoist_decompose(rot_key.params, ct.polys[1])
     c0 = dcrt.automorphism(ct.polys[0], k)
-    c1 = dcrt.automorphism(ct.polys[1], k)
-    d0, d1 = keyswitch.apply(rot_key, c1)
+    d0, d1 = keyswitch.hoist_rotate_apply(rot_key, digits, ct.basis, k)
     return Ciphertext((dcrt.add(c0, d0), d1), ct.scale)
 
 
@@ -633,12 +640,13 @@ def eval_fast_conjugate(ct: Ciphertext, conj_key: keyswitch.KSKey,
 
 
 def eval_conjugate(ct: Ciphertext, conj_key: keyswitch.KSKey) -> Ciphertext:
+    """Hoisted order for the same reason as eval_rotate."""
     assert len(ct.polys) == 2
     n = ct.basis.n
     k = 2 * n - 1
+    digits = keyswitch.hoist_decompose(conj_key.params, ct.polys[1])
     c0 = dcrt.automorphism(ct.polys[0], k)
-    c1 = dcrt.automorphism(ct.polys[1], k)
-    d0, d1 = keyswitch.apply(conj_key, c1)
+    d0, d1 = keyswitch.hoist_rotate_apply(conj_key, digits, ct.basis, k)
     return Ciphertext((dcrt.add(c0, d0), d1), ct.scale)
 
 
