@@ -161,21 +161,16 @@ def keygen_with_a(params: KSParams, s_from: RnsPoly, s_to: RnsPoly,
     n = params.n
     moduli = basis.moduli
     fac, fac_pre = _digit_factor_table(params)
-    digit_b = _digit_b_fn(basis)
-    b_list = []
-    for j in range(params.dnum):
-        e_rows = sampling.signed_to_rns_rows(
-            sampling.gaussian_coeffs(n, rng, sigma) * error_scale, moduli)
-        e_coeff = from_int_array(e_rows)
-        fj = U64(fac.lo[j], fac.hi[j])
-        fj_pre = U64(fac_pre.lo[j], fac_pre.hi[j])
-        b = digit_b(a_datas[j], e_coeff, s_from.data, s_to.data, fj, fj_pre)
-        b_list.append(b)
-    b_lo = jnp.stack([b.lo for b in b_list])
-    b_hi = jnp.stack([b.hi for b in b_list])
-    a_lo = jnp.stack([a.lo for a in a_datas])
-    a_hi = jnp.stack([a.hi for a in a_datas])
-    return KSKey(b_lo, b_hi, a_lo, a_hi, params)
+    # one stacked [dnum, L+K, n] dispatch for all digits (the per-digit
+    # dispatch loop dominated keygen wall time through the remote tunnel)
+    e_np = np.stack([np.asarray(sampling.signed_to_rns_rows(
+        sampling.gaussian_coeffs(n, rng, sigma) * error_scale, moduli))
+        for _ in range(params.dnum)])
+    e_coeff = from_int_array(e_np)
+    a = U64(jnp.stack([d.lo for d in a_datas]),
+            jnp.stack([d.hi for d in a_datas]))
+    b = _digit_b_fn(basis)(a, e_coeff, s_from.data, s_to.data, fac, fac_pre)
+    return KSKey(b.lo, b.hi, a.lo, a.hi, params)
 
 
 def keygen_batch(params: KSParams, s_from: RnsPoly, s_enc_list,
