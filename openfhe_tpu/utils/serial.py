@@ -2,14 +2,18 @@
 
 Role of the reference's cereal-based Serial::Serialize/Deserialize layer
 (``utils/serial.h``, per-type ``*-ser.h`` headers): round-trippable binary
-archives for every user-visible object. Format: a single .npz holding the
-limb arrays plus one JSON metadata entry (versioned). Scheme contexts are
-reconstructed deterministically from their parameter sets, so only params
-are stored for them.
+archives for every user-visible object, in BOTH of the reference's SerType
+flavors: ``fmt="binary"`` (default; one .npz holding the limb arrays plus
+one JSON metadata entry) and ``fmt="json"`` (a single human-readable JSON
+document with base64-embedded arrays — the analog of cereal's
+SerType::JSON). Scheme contexts are reconstructed deterministically from
+their parameter sets, so only params are stored for them. ``load``
+auto-detects the format from the file magic.
 """
 
 from __future__ import annotations
 
+import base64
 import dataclasses
 import io
 import json
@@ -18,6 +22,17 @@ from typing import Any
 import numpy as np
 
 SERIAL_VERSION = 1
+
+
+def _array_to_json(a: np.ndarray) -> dict:
+    buf = io.BytesIO()
+    np.save(buf, np.asarray(a), allow_pickle=False)
+    return {"npy_b64": base64.b64encode(buf.getvalue()).decode()}
+
+
+def _array_from_json(d: dict) -> np.ndarray:
+    return np.load(io.BytesIO(base64.b64decode(d["npy_b64"])),
+                   allow_pickle=False)
 
 
 def _ckks():
@@ -55,7 +70,8 @@ def _params_to_dict(params) -> dict:
     return {k: v for k, v in dataclasses.asdict(params).items()}
 
 
-def save(obj: Any, path: str) -> None:
+def save(obj: Any, path: str, fmt: str = "binary") -> None:
+    assert fmt in ("binary", "json"), fmt
     arrays: dict = {}
     meta: dict = {"version": SERIAL_VERSION}
     t = type(obj).__name__
@@ -122,6 +138,12 @@ def save(obj: Any, path: str) -> None:
     else:
         raise TypeError(f"don't know how to serialize {mod}.{t}")
 
+    if fmt == "json":
+        doc = {"__meta__": meta,
+               "arrays": {k: _array_to_json(v) for k, v in arrays.items()}}
+        with open(path, "w") as f:
+            json.dump(doc, f)
+        return
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
     with open(path, "wb") as f:
@@ -129,9 +151,17 @@ def save(obj: Any, path: str) -> None:
 
 
 def load(path: str) -> Any:
-    with np.load(path) as z:
-        arrays = {k: z[k] for k in z.files}
-    meta = json.loads(bytes(arrays.pop("__meta__")).decode())
+    with open(path, "rb") as f:
+        magic = f.read(1)
+    if magic == b"{":  # JSON flavor
+        with open(path) as f:
+            doc = json.load(f)
+        meta = doc["__meta__"]
+        arrays = {k: _array_from_json(v) for k, v in doc["arrays"].items()}
+    else:
+        with np.load(path) as z:
+            arrays = {k: z[k] for k in z.files}
+        meta = json.loads(bytes(arrays.pop("__meta__")).decode())
     assert meta["version"] <= SERIAL_VERSION, "newer serial format"
     kind = meta["kind"]
 
