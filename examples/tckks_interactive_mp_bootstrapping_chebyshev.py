@@ -16,9 +16,8 @@ from openfhe_tpu.models import ckks, ckks_advanced as adv, multiparty as mp
 
 rng = np.random.default_rng(19)
 
-params = ckks.CKKSParams(ring_dim=512, mult_depth=8, scaling_mod_size=40,
-                         first_mod_size=60, dnum=3,
-                         scaling_technique="FLEXIBLEAUTO")
+params = ckks.CKKSParams(ring_dim=256, mult_depth=8, scaling_mod_size=40,
+                         first_mod_size=60, dnum=3)
 ctx = ckks.gen_context(params)
 print(f"CKKS ring dim {ctx.n}, {len(ctx.q_moduli)} towers")
 
@@ -51,8 +50,9 @@ agg = mp.int_mp_boot_add(shares)
 fresh = mp.int_mp_boot_encrypt(ctx, agg, ar, small)
 print(f"after interactive bootstrap: {fresh.towers} towers (full chain)")
 
-# keep computing at the refreshed level: scale by 1/2
-half = adv.mult_const(ctx, fresh, 0.5, 1.0)
+# keep computing at the refreshed level: scale by 1/2 (encoded at the
+# full scale — an enc_scale of 1.0 would round 0.5 to the integer 0)
+half = ckks.rescale(adv.mult_const(ctx, fresh, 0.5, ctx.scale))
 
 # --- distributed decryption ---
 parts = [mp.decrypt_lead(ctx, sks[0], half, rng)]

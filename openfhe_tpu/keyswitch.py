@@ -357,8 +357,14 @@ def hoist_inner_product(key: KSKey, digits: U64, basis: RnsBasis
     K = len(params.p_moduli)
     Lfull = len(params.q_moduli)
 
-    # active rows of the key: q_0..q_{lvl-1} then the P block
-    idx = jnp.asarray(list(range(lvl)) + list(range(Lfull, Lfull + K)))
+    # active rows of the key: q_0..q_{lvl-1} then the P block — selected
+    # with SLICES (not a fancy-index gather: XLA materializes a gather of
+    # the whole key per digit otherwise)
+    def rows(arr):
+        if lvl == Lfull:
+            return arr
+        return jnp.concatenate([arr[:lvl], arr[Lfull:]], axis=0)
+
     if eb.is_u32:
         # single-limb inner product: key/digit hi planes are identically
         # zero under the reduced-residue contract and never touched.
@@ -366,8 +372,8 @@ def hoist_inner_product(key: KSKey, digits: U64, basis: RnsBasis
         a0 = a1 = None
         for j in range(ndig):
             dj = digits.lo[j]
-            t0 = mul_mod32(dj, key.b_lo[j][idx], m32)
-            t1 = mul_mod32(dj, key.a_lo[j][idx], m32)
+            t0 = mul_mod32(dj, rows(key.b_lo[j]), m32)
+            t1 = mul_mod32(dj, rows(key.a_lo[j]), m32)
             if a0 is None:
                 a0, a1 = t0, t1
             else:
@@ -379,8 +385,8 @@ def hoist_inner_product(key: KSKey, digits: U64, basis: RnsBasis
         acc0 = acc1 = None
         for j in range(ndig):
             digit = U64(digits.lo[j], digits.hi[j])
-            kb = U64(key.b_lo[j][idx], key.b_hi[j][idx])
-            ka = U64(key.a_lo[j][idx], key.a_hi[j][idx])
+            kb = U64(rows(key.b_lo[j]), rows(key.b_hi[j]))
+            ka = U64(rows(key.a_lo[j]), rows(key.a_hi[j]))
             t0 = mul_mod(digit, kb, eb.mod)
             t1 = mul_mod(digit, ka, eb.mod)
             if acc0 is None:

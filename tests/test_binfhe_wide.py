@@ -13,6 +13,13 @@ two-limb 50-bit arithmetic), so they are gated behind
 OPENFHE_TPU_BIG_TESTS=1. Both were run to completion on 2026-08-20:
 STD128Q_3 AND [0,0,0,1] / NAND [1,1,1,0] over all four input pairs
 (batched), exact.
+
+Round 5 (2026-08-21): the remaining four wide sets — STD192Q,
+STD192Q_3, STD192Q_4, STD128Q_4 — were gate-verified on the real TPU
+via ``tpu_binfhe_wide.py`` (AND [0,0,0,1] / OR [0,1,1,1] over all four
+input pairs, one batched blind rotation per gate), all exact; timings
+in E2E_SCALE.md's BINFHE section. Every wide set has now run gates to
+completion.
 """
 
 import itertools

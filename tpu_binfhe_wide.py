@@ -41,7 +41,7 @@ def main():
         sk = binfhe.keygen(ctx, rng)
         bk = binfhe.bootstrap_keygen(ctx, sk, rng)
         t_key = time.time() - t0
-        print(f"[{name}] n={ctx.params.n} N={ctx.params.N} "
+        print(f"[{name}] n={ctx.params.n_lwe} N={ctx.params.N} "
               f"Q={ctx.params.Q.bit_length()}b keygen {t_key:.1f}s",
               file=sys.stderr, flush=True)
         pairs = [(0, 0), (0, 1), (1, 0), (1, 1)]
