@@ -89,7 +89,9 @@ def main():
         return ct.polys[0].data.lo[0, 0]
 
     rec("CKKS_Add",
-        marginal_loop_us(lambda c: ckks.eval_add(c, ct2), ct1, probe),
+        # cheap op: long trip counts so the marginal clears readback noise
+        marginal_loop_us(lambda c: ckks.eval_add(c, ct2), ct1, probe,
+                         k_small=50, k_big=500),
         METHOD_LOOP)
     rec("CKKS_MultRelin",
         # reset the (static-metadata) scale so the fori_loop carry matches
@@ -133,7 +135,8 @@ def main():
         return ct.polys[0].data.lo[0, 0]
 
     rec("BGV_Add",
-        marginal_loop_us(lambda c: bgv.eval_add(c, bct2), bct1, bprobe),
+        marginal_loop_us(lambda c: bgv.eval_add(c, bct2), bct1, bprobe,
+                         k_small=50, k_big=500),
         METHOD_LOOP)
     rec("BGV_MultRelin",
         marginal_loop_us(lambda c: bgv.eval_mult_relin(c, bct2, bevk),
@@ -158,11 +161,16 @@ def main():
         METHOD_ONESHOT)
     fct2 = bfv.encrypt(fctx, fpk, bv, rng)
     rec("BFV_Add",
-        marginal_loop_us(lambda c: bfv.eval_add(c, fct2), fct1, bprobe),
+        marginal_loop_us(lambda c: bfv.eval_add(c, fct2), fct1, bprobe,
+                         k_small=50, k_big=500),
         METHOD_LOOP)
     rec("BFV_MultRelin",
+        # reset the (static-metadata) noise_deg so the fori_loop carry
+        # structure matches, as the CKKS case does for scale
         marginal_loop_us(
-            lambda c: bfv.eval_mult_relin(fctx, c, fct2, fevk), fct1,
+            lambda c: bfv.Ciphertext(
+                bfv.eval_mult_relin(fctx, c, fct2, fevk).polys,
+                c.noise_deg), fct1,
             bprobe), METHOD_LOOP)
     rec("BFV_MultNoRelin",
         marginal_stream_us(lambda c: bfv.eval_mult(fctx, fct1, fct2),

@@ -66,15 +66,17 @@ def main():
                          jax.device_put(np.roll(hi, 1, axis=-1)))
 
             cases = [
-                ("add", lambda v: modular.add_mod(v, b, mod.q)),
-                ("mul", lambda v: modular.mul_mod(v, b, mod)),
-                ("ntt", lambda v: ntt.forward(plan, v)),
-                ("intt", lambda v: ntt.inverse(plan, v)),
+                ("add", lambda v: modular.add_mod(v, b, mod.q), 1 << 28),
+                ("mul", lambda v: modular.mul_mod(v, b, mod), 1 << 26),
+                ("ntt", lambda v: ntt.forward(plan, v), 1 << 24),
+                ("intt", lambda v: ntt.inverse(plan, v), 1 << 24),
             ]
             # scale trip counts so the timed work dwarfs readback jitter
-            # even for microsecond ops at small n
-            k_big = 10 + max(50, (1 << 24) // (n * towers))
-            for name, body in cases:
+            # even for microsecond ops at small n (adds are ~ns-scale
+            # device work against ~ms tunnel-readback jitter, so their
+            # loops must be a couple thousand iterations deep)
+            for name, body, work in cases:
+                k_big = 10 + max(50, work // (n * towers))
                 us = marginal_loop_us(body, a, lambda o: o.lo[0, 0],
                                       k_small=10, k_big=k_big, reps=5)
                 results.append({"case": f"DCRT_{name}", "ring_log": ring_log,
