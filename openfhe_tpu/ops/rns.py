@@ -96,6 +96,14 @@ def approx_switch_basis(x: U64, from_moduli: tuple, to_moduli: tuple) -> U64:
         from_moduli, to_moduli)
     L = len(from_moduli)
     if is_u32_moduli(from_moduli) and is_u32_moduli(to_moduli):
+        if L >= 6:
+            # MXU digit-matmul formulation: bit-exact and measured faster
+            # at every keyswitch shape once the tower MAC is deep enough
+            # to amortize the 9 weight recombinations (tpu_mxu_bench.py,
+            # NTT_PERF.md round 5: 16->6 13.3 vs 62.0 us VPU).
+            from . import rns_mxu
+            return rns_mxu.approx_switch_basis_mxu(x, from_moduli,
+                                                   to_moduli)
         # single-limb u32 fast path: the 64-bit Shoup precon's hi plane IS
         # the 32-bit precon (floor(floor(c*2^64/q)/2^32) = floor(c*2^32/q)),
         # and mul_mod_shoup32 is valid for ANY u32 multiplicand, so y_i >=
